@@ -1,0 +1,240 @@
+"""Typed configuration system.
+
+Mirrors the reference's Hydra/OmegaConf YAML schema (groups ``Env``, ``Dataset``,
+``AE``, ``Predictor`` — see reference configs/config_KTH_Unified_NPVP-S.yaml) with
+dataclasses, so every reference YAML translates key-for-key, and adds what the
+reference lacks (reference survey §5.6): schema validation, a single base config
+with small per-experiment overlays, and ``key.path=value`` CLI overrides.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Any, Optional, Sequence
+
+try:  # PyYAML is available transitively; gate anyway.
+    import yaml
+
+    _HAVE_YAML = True
+except Exception:  # pragma: no cover
+    _HAVE_YAML = False
+
+
+@dataclasses.dataclass
+class EnvConfig:
+    """Runtime environment (reference Env group)."""
+
+    world_size: int = 1  # informational; JAX discovers devices itself
+    rand_seed: int = 3047
+    visual_callback: bool = True
+    # TPU-native additions
+    mesh_shape: tuple = (("data", -1),)  # -1 = all devices on that axis
+    compute_dtype: str = "bfloat16"  # dtype for matmul/conv compute
+    param_dtype: str = "float32"
+    profile_dir: Optional[str] = None  # jax.profiler trace output
+
+
+@dataclasses.dataclass
+class DatasetConfig:
+    name: str = "SMMNIST"  # KTH | SMMNIST | BAIR | Cityscapes | KITTI
+    dir: str = "./data"
+    dev_set_size: Optional[int] = None
+    num_workers: int = 8
+    img_channels: int = 1
+    img_size: int = 64  # 64 for KTH/SMMNIST/BAIR, 128 for Cityscapes/KITTI
+    num_past_frames: int = 5
+    num_future_frames: int = 10
+    test_num_past_frames: int = 5
+    test_num_future_frames: int = 10
+    batch_size: int = 8
+    phase: str = "deploy"  # 'debug' => real val split; 'deploy' => val == train
+
+
+@dataclasses.dataclass
+class AEConfig:
+    """Stage-1 frame autoencoder (reference AE group)."""
+
+    ckpt_save_dir: str = "./ckpts/AE"
+    tensorboard_save_dir: str = "./ckpts/AE_tb"
+    resume_ckpt: Optional[str] = None
+    start_epoch: int = 0
+    epochs: int = 500
+    AE_lr: float = 1e-4
+    ngf: int = 64
+    n_downsampling: int = 3
+    num_res_blocks: int = 2
+    out_layer: str = "Tanh"  # 'Sigmoid' for SM-MNIST
+    learn_3d: bool = False
+    log_per_epochs: int = 2
+
+
+@dataclasses.dataclass
+class PredictorConfig:
+    """Stage-2 NP predictor (reference Predictor group)."""
+
+    ckpt_save_dir: str = "./ckpts/Predictor"
+    tensorboard_save_dir: str = "./ckpts/Predictor_tb"
+    resume_ckpt: Optional[str] = None
+    init_det_ckpt_for_vae: Optional[str] = None
+    resume_AE_ckpt: str = ""
+    start_epoch: int = 0
+    epochs: int = 600
+    log_per_epochs: int = 5
+
+    rand_context: bool = False
+    min_lo: int = 4
+    max_lo: int = 16
+
+    VFI: bool = False
+    context_num_p: int = 5
+    context_num_f: int = 5
+    num_interpolate: int = 10
+
+    max_H: int = 8
+    max_W: int = 8
+    max_T: int = 15
+
+    embed_dim: int = 512
+    fuse_method: str = "Add"  # 'Add' | 'SPADE'
+    param_free_norm_type: str = "layer"
+    evt_former: bool = True
+    evt_former_num_layers: int = 4
+    evt_hidden_channels: int = 256
+    stochastic: bool = False
+    transformer_layers: int = 8
+
+    # transformer hyperparameters (reference Predictor.__init__ defaults,
+    # models/Predictor.py:270)
+    num_heads: int = 8
+    window_size: int = 4
+    dropout: float = 0.1
+    drop_path: float = 0.1
+    Spatial_FFN_hidden_ratio: int = 4
+    dim_feedforward: int = 1024
+
+    predictor_lr: float = 1e-4
+    max_grad_norm: float = 1.0
+    use_cosine_scheduler: bool = True
+    scheduler_eta_min: float = 1e-7
+    scheduler_T0: int = 150
+
+    lam_PF_L1: float = 0.01
+    KL_beta: float = 1e-8
+
+    use_gan: bool = False  # deprecated in reference; kept for schema parity
+    lam_gan: float = 0.001
+    ndf: int = 64
+
+    # TPU-native additions
+    use_pallas_attention: bool = True  # fused Pallas kernels on TPU
+
+
+@dataclasses.dataclass
+class Config:
+    Env: EnvConfig = dataclasses.field(default_factory=EnvConfig)
+    Dataset: DatasetConfig = dataclasses.field(default_factory=DatasetConfig)
+    AE: AEConfig = dataclasses.field(default_factory=AEConfig)
+    Predictor: PredictorConfig = dataclasses.field(default_factory=PredictorConfig)
+
+    def validate(self) -> "Config":
+        p, d = self.Predictor, self.Dataset
+        clip = d.num_past_frames + d.num_future_frames
+        if p.max_T != clip:
+            raise ValueError(
+                f"Predictor.max_T ({p.max_T}) must equal num_past_frames + "
+                f"num_future_frames ({clip})"
+            )
+        if p.VFI:
+            vfi_clip = p.context_num_p + p.context_num_f + p.num_interpolate
+            if vfi_clip != clip:
+                raise ValueError(
+                    f"VFI frames ({vfi_clip}) incompatible with clip length {clip}"
+                )
+        if p.embed_dim % p.num_heads != 0:
+            raise ValueError("embed_dim must be divisible by num_heads")
+        if p.fuse_method not in ("Add", "SPADE"):
+            raise ValueError(f"unknown fuse_method {p.fuse_method!r}")
+        if self.AE.out_layer not in ("Tanh", "Sigmoid"):
+            raise ValueError(f"unsupported AE.out_layer {self.AE.out_layer!r}")
+        return self
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def save(self, path: str | Path) -> None:
+        """Persist the resolved config next to checkpoints (reference keeps a
+        source snapshot in ckpts, utils/train_summary.py:202-231; we keep the
+        resolved config instead)."""
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        Path(path).write_text(json.dumps(self.to_dict(), indent=2, default=str))
+
+
+_GROUPS = {"Env": EnvConfig, "Dataset": DatasetConfig, "AE": AEConfig,
+           "Predictor": PredictorConfig}
+
+
+def _coerce(value: Any, target_type: Any) -> Any:
+    if value is None:
+        return None
+    if target_type is bool and isinstance(value, str):
+        return value.lower() in ("1", "true", "yes")
+    if target_type in (int, float) and isinstance(value, str):
+        return target_type(value)
+    if target_type is float and isinstance(value, int):
+        return float(value)
+    return value
+
+
+def _apply_group(dc: Any, values: dict, group_name: str) -> None:
+    fields = {f.name: f for f in dataclasses.fields(dc)}
+    for key, val in values.items():
+        if key not in fields:
+            raise KeyError(f"unknown config key {group_name}.{key}")
+        ftype = fields[key].type
+        base = {"int": int, "float": float, "bool": bool, "str": str}.get(
+            str(ftype).replace("Optional[", "").replace("]", ""), None
+        )
+        setattr(dc, key, _coerce(val, base) if base else val)
+
+
+def from_dict(d: dict) -> Config:
+    cfg = Config()
+    for group_name, values in d.items():
+        if group_name not in _GROUPS:
+            raise KeyError(f"unknown config group {group_name}")
+        if values:
+            _apply_group(getattr(cfg, group_name), values, group_name)
+    return cfg
+
+
+def load_config(path: str | Path, overrides: Sequence[str] = ()) -> Config:
+    """Load a YAML/JSON config file and apply ``Group.key=value`` overrides."""
+    text = Path(path).read_text()
+    if str(path).endswith(".json"):
+        data = json.loads(text)
+    else:
+        if not _HAVE_YAML:
+            raise RuntimeError("PyYAML unavailable; use JSON configs")
+        data = yaml.safe_load(text)
+    cfg = from_dict(data or {})
+    apply_overrides(cfg, overrides)
+    return cfg.validate()
+
+
+def apply_overrides(cfg: Config, overrides: Sequence[str]) -> Config:
+    for item in overrides:
+        if "=" not in item:
+            raise ValueError(f"override must be Group.key=value, got {item!r}")
+        dotted, val = item.split("=", 1)
+        parts = dotted.split(".")
+        if len(parts) != 2 or parts[0] not in _GROUPS:
+            raise ValueError(f"override path must be Group.key, got {dotted!r}")
+        group = getattr(cfg, parts[0])
+        if not _HAVE_YAML:
+            parsed = val
+        else:
+            parsed = yaml.safe_load(val)
+        _apply_group(group, {parts[1]: parsed}, parts[0])
+    return cfg

@@ -1,0 +1,159 @@
+"""Shared Flax building blocks.
+
+All modules use NHWC / channels-last layouts (the native TPU conv layout) and
+take a ``dtype`` compute dtype (bfloat16 by default at call sites) with float32
+parameters, so matmuls hit the MXU in bf16 while normalization statistics stay
+in fp32.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def scaled_dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+) -> jnp.ndarray:
+    """Batched attention over (..., L, num_heads, head_dim) tensors.
+
+    ``mask`` is boolean with True = *allowed*, broadcastable to
+    (..., num_heads, Lq, Lk). Softmax is computed in fp32 for stability.
+    """
+    head_dim = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(head_dim, jnp.float32))
+    # (..., num_heads, Lq, Lk)
+    logits = jnp.einsum("...qhd,...khd->...hqk", q, k,
+                        preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+    weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    if dropout_rate > 0.0 and not deterministic:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
+                                    weights.shape)
+        weights = weights * keep / (1.0 - dropout_rate)
+    return jnp.einsum("...hqk,...khd->...qhd", weights, v)
+
+
+class MultiHeadAttention(nn.Module):
+    """Multi-head attention matching torch.nn.MultiheadAttention semantics
+    (separate q/k/v inputs, output projection, dropout on attention weights).
+
+    Inputs are (..., L, C); the leading axes are batch. A torch packed
+    ``in_proj_weight`` maps onto (wq, wk, wv) by a 3-way split (see
+    tools/torch_converter.py).
+    """
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q_in, k_in, v_in, mask=None, deterministic=True):
+        head_dim = self.embed_dim // self.num_heads
+        dense = lambda name: nn.DenseGeneral(
+            features=(self.num_heads, head_dim), axis=-1, name=name,
+            dtype=self.dtype, param_dtype=jnp.float32)
+        q = dense("wq")(q_in)
+        k = dense("wk")(k_in)
+        v = dense("wv")(v_in)
+        rng = None
+        if self.dropout > 0.0 and not deterministic:
+            rng = self.make_rng("dropout")
+        out = scaled_dot_product_attention(
+            q, k, v, mask=mask, dropout_rate=self.dropout,
+            dropout_rng=rng, deterministic=deterministic)
+        return nn.DenseGeneral(
+            features=self.embed_dim, axis=(-2, -1), name="wo",
+            dtype=self.dtype, param_dtype=jnp.float32)(out)
+
+
+class LayerNormHWC(nn.Module):
+    """LayerNorm over the trailing (H, W, C) axes with (H, W, C)-shaped affine.
+
+    Equivalent of the reference's ``nn.LayerNorm((C, H, W))`` inside MlpDWBN
+    (reference models/VidHRFormer.py:348) transposed to channels-last.
+    """
+
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (..., H, W, C)
+        shape = x.shape[-3:]
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=(-3, -2, -1), keepdims=True)
+        var = jnp.var(x32, axis=(-3, -2, -1), keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        scale = self.param("scale", nn.initializers.ones, shape, jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, shape, jnp.float32)
+        return (y * scale + bias).astype(self.dtype)
+
+
+class DropPath(nn.Module):
+    """Stochastic depth per sample (timm-style; reference
+    models/VidHRFormer.py:513-537). Identity when deterministic or rate 0."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep_prob = 1.0 - self.rate
+        rng = self.make_rng("droppath")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        keep = jax.random.bernoulli(rng, keep_prob, shape)
+        return jnp.where(keep, x / keep_prob, jnp.zeros_like(x))
+
+
+def reflect_pad_2d(x: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """Reflection-pad the (H, W) axes of an (..., H, W, C) tensor
+    (equivalent of nn.ReflectionPad2d; XLA lowers this to a pad+gather that
+    fuses with the following conv)."""
+    cfg = [(0, 0)] * (x.ndim - 3) + [(pad, pad), (pad, pad), (0, 0)]
+    return jnp.pad(x, cfg, mode="reflect")
+
+
+class ConvBNAct(nn.Module):
+    """Conv → BatchNorm → activation in NHWC.
+
+    BatchNorm batch statistics are computed over the *global* batch under
+    pjit/jit with a sharded batch axis — XLA inserts the cross-replica
+    reduction, which natively provides the reference's sync_batchnorm
+    behavior (reference train_AutoEncoder_lightning.py:41).
+    """
+
+    features: int
+    kernel_size: tuple = (3, 3)
+    strides: tuple = (1, 1)
+    padding: str | tuple = "SAME"
+    use_bias: bool = False
+    activation: Optional[Callable] = nn.relu
+    feature_group_count: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.features, self.kernel_size, strides=self.strides,
+                    padding=self.padding, use_bias=self.use_bias,
+                    feature_group_count=self.feature_group_count,
+                    dtype=self.dtype, param_dtype=jnp.float32, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=jnp.float32,
+                         name="bn")(x).astype(self.dtype)
+        if self.activation is not None:
+            x = self.activation(x)
+        return x

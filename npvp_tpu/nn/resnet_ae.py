@@ -1,0 +1,265 @@
+"""Stage-1 per-frame ResNet autoencoder.
+
+TPU-native (NHWC, XLA `conv_general_dilated`, bf16 compute, fp32 BN) rebuild of
+the reference's pix2pix-style encoder/decoder (reference
+models/ResNetAutoEncoder.py:51-261) and the SAGAN-style non-local attention
+blocks interleaved between downsampling stages (reference
+models/submodules.py:9-255).
+
+Frames are processed with time folded into batch: (N, T, H, W, C) →
+(N·T, H, W, C) — a per-frame model, so all conv batch dims stay large for the
+MXU. All shipped reference configs set ``learn_3d: False`` so the temporal half
+of Factorized3DConvAttn is off by default (still implemented for parity).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from npvp_tpu.nn.layers import ConvBNAct, reflect_pad_2d
+
+_XAVIER = nn.initializers.xavier_uniform()
+
+
+class NonLocalAttention2D(nn.Module):
+    """Non-local (global spatial) attention with 2×2 max-pooled keys/values and
+    a zero-initialized residual gate gamma (reference models/submodules.py:98-180).
+
+    Unscaled q·k logits (SAGAN convention — no 1/sqrt(d))."""
+
+    attn_ratio: int = 8
+    value_ratio: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        N, H, W, C = x.shape
+        attn_dim = C // self.attn_ratio
+        value_dim = C // self.value_ratio
+        skip = x
+        flat = x.reshape(N, H * W, C)
+
+        dense = lambda feats, name: nn.Dense(
+            feats, kernel_init=_XAVIER, dtype=self.dtype,
+            param_dtype=jnp.float32, name=name)
+        q = dense(attn_dim, "wq")(flat)                      # (N, HW, a)
+        k = dense(attn_dim, "wk")(flat).reshape(N, H, W, attn_dim)
+        v = dense(value_dim, "wv")(flat).reshape(N, H, W, value_dim)
+        # Downsample key/value length to (H/2)*(W/2)
+        k = nn.max_pool(k, (2, 2), strides=(2, 2)).reshape(N, -1, attn_dim)
+        v = nn.max_pool(v, (2, 2), strides=(2, 2)).reshape(N, -1, value_dim)
+
+        logits = jnp.einsum("nqc,nkc->nqk", q, k,
+                            preferred_element_type=jnp.float32)
+        weights = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        out = jnp.einsum("nqk,nkc->nqc", weights, v)
+        out = dense(C, "out_proj")(out).reshape(N, H, W, C)
+
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                           epsilon=1e-5, dtype=jnp.float32,
+                           name="bn")(out).astype(x.dtype)
+        out = nn.relu(out)
+        gamma = self.param("gamma", nn.initializers.zeros, ())
+        return skip + gamma.astype(x.dtype) * out
+
+
+class NonLocalAttention1D(nn.Module):
+    """Temporal non-local attention over the T axis; used only when
+    ``learn_3d=True`` (reference models/submodules.py:182-255). Input
+    (B, T, C) with B = N·H·W."""
+
+    attn_ratio: int = 8
+    value_ratio: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        B, T, C = x.shape
+        attn_dim = C // self.attn_ratio
+        value_dim = C // self.value_ratio
+        dense = lambda feats, name: nn.Dense(
+            feats, kernel_init=_XAVIER, dtype=self.dtype,
+            param_dtype=jnp.float32, name=name)
+        q = dense(attn_dim, "wq")(x)
+        k = dense(attn_dim, "wk")(x)
+        v = dense(value_dim, "wv")(x)
+        logits = jnp.einsum("btc,bsc->bts", q, k,
+                            preferred_element_type=jnp.float32)
+        weights = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        out = dense(C, "out_proj")(jnp.einsum("bts,bsc->btc", weights, v))
+        # reference applies BatchNorm1d over (B, C, T)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                           epsilon=1e-5, dtype=jnp.float32,
+                           name="bn")(out).astype(x.dtype)
+        out = nn.relu(out)
+        gamma = self.param("gamma", nn.initializers.zeros, ())
+        return x + gamma.astype(x.dtype) * out
+
+
+class Factorized3DConvAttn(nn.Module):
+    """Spatial conv + non-local 2D attention (+ optional temporal conv1d +
+    non-local 1D attention when ``learn_3d``), residual around the whole block
+    (reference models/submodules.py:9-95, conv-first order)."""
+
+    learn_3d: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, T: int, train: bool = False):
+        NT, H, W, C = x.shape
+        skip = x
+        x = ConvBNAct(C, (3, 3), use_bias=True, dtype=self.dtype,
+                      name="spatial_conv")(x, train=train) + x
+        x = NonLocalAttention2D(dtype=self.dtype, name="attn2d")(x, train=train)
+        if self.learn_3d:
+            N = NT // T
+            xt = x.reshape(N, T, H, W, C).transpose(0, 2, 3, 1, 4)
+            xt = xt.reshape(N * H * W, T, C)
+            # temporal conv1d (kernel 3, 'same') + BN + relu, residual
+            conv = nn.Conv(C, (3,), padding="SAME", use_bias=True,
+                           dtype=self.dtype, param_dtype=jnp.float32,
+                           name="temporal_conv")(xt)
+            conv = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-5, dtype=jnp.float32,
+                                name="temporal_bn")(conv).astype(x.dtype)
+            xt = nn.relu(conv) + xt
+            xt = NonLocalAttention1D(dtype=self.dtype, name="attn1d")(
+                xt, train=train)
+            x = xt.reshape(N, H, W, T, C).transpose(0, 3, 1, 2, 4)
+            x = x.reshape(NT, H, W, C)
+        return x + skip
+
+
+class ResnetBlock(nn.Module):
+    """Two reflect-padded 3×3 convs with BN, residual
+    (reference models/ResNetAutoEncoder.py:207-261)."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        C = x.shape[-1]
+        y = reflect_pad_2d(x, 1)
+        y = ConvBNAct(C, (3, 3), padding="VALID", dtype=self.dtype,
+                      name="conv1")(y, train=train)
+        y = reflect_pad_2d(y, 1)
+        y = ConvBNAct(C, (3, 3), padding="VALID", activation=None,
+                      dtype=self.dtype, name="conv2")(y, train=train)
+        return x + y
+
+
+class ResnetEncoder(nn.Module):
+    """Frames (N, T, H, W, C_img) → features (N, T, H', W', ngf·2^n_down),
+    ReLU-activated (reference models/ResNetAutoEncoder.py:51-146)."""
+
+    ngf: int = 64
+    n_downsampling: int = 3
+    num_res_blocks: int = 2
+    learn_3d: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        N, T = x.shape[:2]
+        x = x.reshape((N * T,) + x.shape[2:]).astype(self.dtype)
+
+        # stem: reflect-pad 3 + 7×7 conv
+        x = reflect_pad_2d(x, 3)
+        x = ConvBNAct(self.ngf, (7, 7), padding="VALID", dtype=self.dtype,
+                      name="block0")(x, train=train)
+        x = ConvBNAct(self.ngf * 2, (3, 3), strides=(2, 2), dtype=self.dtype,
+                      name="block1")(x, train=train)
+        ngf = self.ngf * 2
+        for i in range(1, self.n_downsampling):
+            x = Factorized3DConvAttn(self.learn_3d, dtype=self.dtype,
+                                     name=f"block{i + 1}_attn")(x, T, train)
+            x = ConvBNAct(ngf * 2, (3, 3), strides=(2, 2), dtype=self.dtype,
+                          name=f"block{i + 1}_conv")(x, train=train)
+            ngf *= 2
+        for i in range(self.num_res_blocks):
+            x = Factorized3DConvAttn(self.learn_3d, dtype=self.dtype,
+                                     name=f"res_attn_{i}")(x, T, train)
+            x = ResnetBlock(dtype=self.dtype, name=f"res_conv_{i}")(x, train)
+        x = nn.relu(x)
+        return x.reshape((N, T) + x.shape[1:])
+
+
+class ResnetDecoder(nn.Module):
+    """Features (N, T, H', W', C) → frames (N, T, H, W, C_img) through
+    ConvTranspose upsampling and a 7×7 head with Tanh/Sigmoid
+    (reference models/ResNetAutoEncoder.py:148-204).
+
+    ConvTranspose padding ((1, 2), (1, 2)) with stride 2 / kernel 3
+    reproduces torch ConvTranspose2d(k=3, s=2, p=1, output_padding=1)
+    exactly (out = 2·in)."""
+
+    out_channels: int = 1
+    ngf: int = 64
+    n_downsampling: int = 3
+    out_layer: str = "Tanh"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        N, T = x.shape[:2]
+        x = x.reshape((N * T,) + x.shape[2:]).astype(self.dtype)
+
+        for i in range(self.n_downsampling):
+            mult = 2 ** (self.n_downsampling - i)
+            x = nn.ConvTranspose(
+                self.ngf * mult // 2, (3, 3), strides=(2, 2),
+                padding=((1, 2), (1, 2)), use_bias=False,
+                transpose_kernel=True, dtype=self.dtype,
+                param_dtype=jnp.float32, name=f"up{i}_conv")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=jnp.float32,
+                             name=f"up{i}_bn")(x).astype(self.dtype)
+            x = nn.relu(x)
+        x = reflect_pad_2d(x, 3)
+        x = nn.Conv(self.out_channels, (7, 7), padding="VALID", use_bias=True,
+                    dtype=self.dtype, param_dtype=jnp.float32, name="head")(x)
+        if self.out_layer == "Tanh":
+            x = jnp.tanh(x)
+        elif self.out_layer == "Sigmoid":
+            x = jax.nn.sigmoid(x)
+        else:
+            raise ValueError(f"unsupported out_layer {self.out_layer!r}")
+        return x.reshape((N, T) + x.shape[1:])
+
+
+class FrameAutoEncoder(nn.Module):
+    """Encoder+decoder pair (stage-1 trainable unit, reference
+    models/ResNetAutoEncoder.py:13-49)."""
+
+    img_channels: int = 1
+    ngf: int = 64
+    n_downsampling: int = 3
+    num_res_blocks: int = 2
+    out_layer: str = "Tanh"
+    learn_3d: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.encoder = ResnetEncoder(
+            ngf=self.ngf, n_downsampling=self.n_downsampling,
+            num_res_blocks=self.num_res_blocks, learn_3d=self.learn_3d,
+            dtype=self.dtype)
+        self.decoder = ResnetDecoder(
+            out_channels=self.img_channels, ngf=self.ngf,
+            n_downsampling=self.n_downsampling, out_layer=self.out_layer,
+            dtype=self.dtype)
+
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        feats = self.encoder(x, train=train)
+        rec = self.decoder(feats, train=train)
+        return rec, feats
+
+    def encode(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        return self.encoder(x, train=train)
+
+    def decode(self, feats: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        return self.decoder(feats, train=train)

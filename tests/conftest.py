@@ -1,0 +1,18 @@
+"""Test harness configuration.
+
+Forces JAX onto the CPU backend with 8 virtual devices BEFORE jax initializes,
+so mesh/sharding/collective logic is exercised without TPU hardware (the
+multi-device testing strategy the reference lacks — survey §4).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")

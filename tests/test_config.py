@@ -1,0 +1,69 @@
+import json
+
+import pytest
+
+from npvp_tpu.core.config import Config, apply_overrides, from_dict, load_config
+
+
+def test_defaults_validate():
+    cfg = Config()
+    cfg.validate()
+
+
+def test_from_dict_and_overrides():
+    cfg = from_dict({"Dataset": {"name": "KTH", "num_past_frames": 10,
+                                 "num_future_frames": 10},
+                     "Predictor": {"max_T": 20, "stochastic": True}})
+    assert cfg.Dataset.name == "KTH"
+    assert cfg.Predictor.stochastic is True
+    cfg.validate()
+
+    apply_overrides(cfg, ["Predictor.transformer_layers=2",
+                          "AE.out_layer=Sigmoid",
+                          "Dataset.batch_size=4"])
+    assert cfg.Predictor.transformer_layers == 2
+    assert cfg.AE.out_layer == "Sigmoid"
+    assert cfg.Dataset.batch_size == 4
+
+
+def test_unknown_key_rejected():
+    with pytest.raises(KeyError):
+        from_dict({"Predictor": {"not_a_key": 1}})
+    with pytest.raises(KeyError):
+        from_dict({"NotAGroup": {}})
+
+
+def test_validation_errors():
+    cfg = from_dict({"Dataset": {"num_past_frames": 10,
+                                 "num_future_frames": 10},
+                     "Predictor": {"max_T": 15}})
+    with pytest.raises(ValueError):
+        cfg.validate()
+
+    cfg = Config()
+    cfg.AE.out_layer = "Softmax"
+    with pytest.raises(ValueError):
+        cfg.validate()
+
+
+def test_load_json_roundtrip(tmp_path):
+    cfg = Config()
+    cfg.Dataset.name = "BAIR"
+    cfg.Dataset.img_channels = 3
+    cfg.Dataset.num_past_frames = 2
+    cfg.Dataset.num_future_frames = 13
+    cfg.Predictor.max_T = 15
+    path = tmp_path / "cfg.json"
+    path.write_text(json.dumps(cfg.to_dict(), default=str))
+    loaded = load_config(path)
+    assert loaded.Dataset.name == "BAIR"
+    assert loaded.Dataset.img_channels == 3
+
+
+def test_load_yaml_with_override(tmp_path):
+    path = tmp_path / "cfg.yaml"
+    path.write_text(
+        "Dataset:\n  name: KTH\n  num_past_frames: 10\n"
+        "  num_future_frames: 10\nPredictor:\n  max_T: 20\n")
+    cfg = load_config(path, overrides=["Predictor.stochastic=true"])
+    assert cfg.Predictor.stochastic is True
