@@ -15,4 +15,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# The environment may pre-import jax with a hardware platform selected (e.g.
+# via sitecustomize); backends initialize lazily, so redirecting here still
+# works as long as no computation ran yet.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "highest")

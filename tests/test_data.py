@@ -1,0 +1,177 @@
+import numpy as np
+import pytest
+
+from npvp_tpu.data.datasets import (ClipDataset, ConcatDataset,
+                                    SubsetDataset, chunk_into_clips)
+from npvp_tpu.data.loader import BatchLoader, DataModule
+from npvp_tpu.data.smmnist import StochasticMovingMNIST
+from npvp_tpu.data.transforms import (CenterCrop, Compose, Normalize,
+                                      ReNormalize, Resize,
+                                      RandomHorizontalFlip, build_transforms,
+                                      mean_std_compute)
+from npvp_tpu.core.config import Config
+
+
+def test_transforms_normalize_renorm_roundtrip():
+    clip = np.random.default_rng(0).random((3, 8, 8, 1), np.float32)
+    norm = Normalize(0.6013795, 2.7570653)
+    renorm = ReNormalize(0.6013795, 2.7570653)
+    out = renorm(norm(clip))
+    np.testing.assert_allclose(out, clip, atol=1e-5)
+
+
+def test_center_crop_and_resize():
+    clip = np.zeros((2, 120, 160, 1), np.float32)
+    clip[:, 60, 80] = 1.0
+    out = CenterCrop((120, 120))(clip)
+    assert out.shape == (2, 120, 120, 1)
+    assert out[:, 60, 60].max() == 1.0
+    out = Resize((64, 64))(out)
+    assert out.shape == (2, 64, 64, 1)
+
+
+def test_random_flip_reproducible():
+    clip = np.arange(2 * 4 * 4).reshape(2, 4, 4, 1).astype(np.float32)
+    flip = RandomHorizontalFlip(1.0)
+    out = flip(clip, np.random.default_rng(0))
+    np.testing.assert_array_equal(out, clip[:, :, ::-1])
+    # p=0 never flips
+    out = RandomHorizontalFlip(0.0)(clip, np.random.default_rng(0))
+    np.testing.assert_array_equal(out, clip)
+
+
+def test_build_transforms_kth_shape():
+    tf, renorm = build_transforms("KTH", train=False)
+    clip = np.random.default_rng(0).random((3, 120, 160, 1), np.float32)
+    out = tf(clip)
+    assert out.shape == (3, 64, 64, 1)
+    # normalized: mean/std applied
+    assert out.min() < 0
+
+
+def test_mean_std_compute():
+    rng = np.random.default_rng(0)
+    clips = [rng.normal(0.5, 0.2, (4, 8, 8, 3)).astype(np.float32)
+             for _ in range(8)]
+    mean, std = mean_std_compute(iter(clips), 3)
+    np.testing.assert_allclose(mean, 0.5, atol=0.01)
+    np.testing.assert_allclose(std, 0.2, atol=0.01)
+
+
+def test_chunk_into_clips_centers_remainder():
+    files = list(range(23))
+    clips = chunk_into_clips(files, 10)
+    assert len(clips) == 2
+    # remainder 3 → drop 1 from the front, 2 from the back
+    assert clips[0][0] == 1 and clips[1][-1] == 20
+
+
+def test_smmnist_deterministic_and_moving():
+    ds = StochasticMovingMNIST(num_past_frames=2, num_future_frames=3,
+                               length=16)
+    a = ds[3]
+    b = ds[3]
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (5, 64, 64, 1)
+    assert a.max() <= 1.0 and a.min() >= 0.0
+    assert a.max() > 0.1  # sprites actually rendered
+    # motion: consecutive frames differ
+    assert np.abs(a[1] - a[0]).max() > 0.0
+    # different indices differ
+    assert np.abs(np.asarray(ds[4]) - a).max() > 0.0
+
+
+def test_batch_loader_pairs_mode():
+    ds = StochasticMovingMNIST(num_past_frames=2, num_future_frames=3,
+                               length=10)
+    loader = BatchLoader(ds, 4, shuffle=True, num_past=2, num_future=3,
+                         num_workers=2)
+    batches = list(loader)
+    assert len(batches) == len(loader) == 2
+    assert batches[0]["past"].shape == (4, 2, 64, 64, 1)
+    assert batches[0]["future"].shape == (4, 3, 64, 64, 1)
+
+    # epochs reshuffle
+    loader.set_epoch(1)
+    b2 = next(iter(loader))
+    assert np.abs(b2["past"] - batches[0]["past"]).max() > 0
+
+
+def test_batch_loader_rand_context_mode():
+    ds = StochasticMovingMNIST(num_past_frames=2, num_future_frames=3,
+                               length=8)
+    loader = BatchLoader(ds, 4, shuffle=False, num_past=2, num_future=3,
+                         mode="rand_context", min_lo=1, max_lo=4,
+                         num_workers=1)
+    batch = next(iter(loader))
+    assert batch["clip"].shape == (4, 5, 64, 64, 1)
+    obs, tgt = batch["obs_mask"], batch["tgt_mask"]
+    assert obs.shape == (5,) and obs.dtype == bool
+    np.testing.assert_array_equal(obs ^ tgt, np.ones(5, bool))
+    assert 1 <= obs.sum() <= 4
+
+
+def test_batch_loader_vfi_mode():
+    ds = StochasticMovingMNIST(num_past_frames=3, num_future_frames=3,
+                               length=8)
+    loader = BatchLoader(ds, 2, shuffle=False, num_past=3, num_future=3,
+                         mode="vfi", to_idx=[0, 1, 4, 5], tp_idx=[2, 3],
+                         num_workers=1)
+    batch = next(iter(loader))
+    assert batch["past"].shape == (2, 4, 64, 64, 1)
+    assert batch["future"].shape == (2, 2, 64, 64, 1)
+
+
+def test_batch_loader_process_sharding():
+    ds = StochasticMovingMNIST(num_past_frames=1, num_future_frames=1,
+                               length=16)
+    ids = set()
+    for pi in range(2):
+        loader = BatchLoader(ds, 4, shuffle=False, num_past=1, num_future=1,
+                             process_index=pi, process_count=2,
+                             num_workers=1)
+        assert len(loader) == 2
+        ids.update(loader._indices().tolist())
+    assert ids == set(range(16))
+
+
+def test_clip_dataset_and_wrappers(tmp_path):
+    from PIL import Image
+
+    frames = []
+    for i in range(6):
+        p = tmp_path / f"{i:03d}.png"
+        Image.fromarray((np.ones((8, 8)) * i * 40).astype(np.uint8)).save(p)
+        frames.append(p)
+    clips = chunk_into_clips(frames, 3)
+    ds = ClipDataset(clips, None, "grey_scale")
+    assert len(ds) == 2
+    clip = ds[0]
+    assert clip.shape == (3, 8, 8, 1)
+    np.testing.assert_allclose(clip[1].max(), 40 / 255, atol=1e-3)
+
+    sub = SubsetDataset(ds, [1])
+    assert len(sub) == 1
+    np.testing.assert_array_equal(sub[0], ds[1])
+    cat = ConcatDataset([ds, sub])
+    assert len(cat) == 3
+    np.testing.assert_array_equal(cat[2], ds[1])
+
+
+def test_datamodule_smmnist():
+    cfg = Config()
+    cfg.Dataset.name = "SMMNIST"
+    cfg.Dataset.batch_size = 2
+    cfg.Dataset.num_past_frames = 2
+    cfg.Dataset.num_future_frames = 2
+    cfg.Dataset.dev_set_size = 8
+    cfg.Dataset.num_workers = 1
+    cfg.Predictor.max_T = 4
+    dm = DataModule(cfg)
+    loader = dm.train_loader()
+    assert dm.len_train_loader == len(loader) == 4
+    batch = next(iter(loader))
+    assert batch["past"].shape == (2, 2, 64, 64, 1)
+    assert dm.predictor_mode() == "pairs"
+    cfg.Predictor.rand_context = True
+    assert dm.predictor_mode() == "rand_context"
