@@ -32,17 +32,15 @@ class CheckpointManager:
         """
         directory = Path(directory).absolute()
         directory.mkdir(parents=True, exist_ok=True)
-        best_fn = None
-        best_mode = None
+        kwargs = {}
         if monitor is not None:
-            best_fn = lambda metrics: float(metrics[monitor])
-            best_mode = mode
+            kwargs["best_fn"] = lambda metrics: float(metrics[monitor])
+            kwargs["best_mode"] = mode
         options = ocp.CheckpointManagerOptions(
             max_to_keep=max_to_keep,
             save_interval_steps=save_interval_steps,
-            best_fn=best_fn,
-            best_mode=best_mode,
             enable_async_checkpointing=True,
+            **kwargs,
         )
         self._mngr = ocp.CheckpointManager(directory, options=options)
         self.directory = directory

@@ -25,19 +25,28 @@ MODEL_AXIS = "model"
 
 
 def make_mesh(data: int = -1, model: int = 1,
-              devices: Optional[list] = None) -> Mesh:
+              devices: Optional[list] = None,
+              batch_size: Optional[int] = None) -> Mesh:
     """Create a (data, model) mesh. ``data=-1`` consumes all remaining
     devices. Axis order puts ``model`` innermost so tensor-parallel
-    collectives ride the fastest ICI links."""
+    collectives ride the fastest ICI links.
+
+    When ``batch_size`` is given, the data axis is clamped to its largest
+    divisor ≤ the device count (using a device subset if necessary) so tiny
+    debug batches still run on large meshes."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if data == -1:
         if n % model:
             raise ValueError(f"{n} devices not divisible by model={model}")
         data = n // model
-    if data * model != n:
-        raise ValueError(f"mesh {data}x{model} != {n} devices")
-    dev_array = np.asarray(devices).reshape(data, model)
+    if batch_size is not None and batch_size % data:
+        import math
+
+        data = math.gcd(data, batch_size)
+    if data * model > n:
+        raise ValueError(f"mesh {data}x{model} > {n} devices")
+    dev_array = np.asarray(devices[: data * model]).reshape(data, model)
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 
 
@@ -78,18 +87,34 @@ def _path_str(path) -> str:
     return "/" + "/".join(parts)
 
 
-def param_shardings(mesh: Mesh, params: Any) -> Any:
-    """NamedSharding pytree for a parameter pytree (TP rules + replication)."""
+def tree_shardings(mesh: Mesh, tree: Any) -> Any:
+    """NamedSharding pytree for any state pytree. The TP path rules match on
+    path *suffixes*, so they apply equally to params and to optimizer moments
+    (whose optax paths embed the parameter path)."""
     def assign(path, leaf):
         spec = param_spec(_path_str(path))
-        # guard: only shard if the dim is divisible by the axis size
         axis_size = mesh.shape[MODEL_AXIS]
+        shape = getattr(leaf, "shape", ())
         for dim, name in enumerate(spec):
-            if name == MODEL_AXIS and leaf.shape[dim] % axis_size:
+            # guard: only shard dims divisible by the axis size
+            if name == MODEL_AXIS and (dim >= len(shape)
+                                       or shape[dim] % axis_size):
                 return NamedSharding(mesh, P())
         return NamedSharding(mesh, spec)
 
-    return jax.tree_util.tree_map_with_path(assign, params)
+    return jax.tree_util.tree_map_with_path(assign, tree)
+
+
+def param_shardings(mesh: Mesh, params: Any) -> Any:
+    """NamedSharding pytree for a parameter pytree (TP rules + replication)."""
+    return tree_shardings(mesh, params)
+
+
+def shard_state(mesh: Mesh, state: Any) -> Any:
+    """Place a full train state on the mesh (params + optimizer moments get
+    the TP layout; everything else replicated). jit then follows these
+    placements — no explicit in_shardings needed at the call site."""
+    return jax.device_put(state, tree_shardings(mesh, state))
 
 
 def shard_params(mesh: Mesh, params: Any) -> Any:

@@ -157,7 +157,7 @@ class DataModule:
     def _build_split(self, split: str):
         d = self.cfg.Dataset
         L = self._clip_length(test=(split == "test"))
-        name = d.name
+        name = "Cityscapes" if d.name == "CityScapes" else d.name
         if name == "SMMNIST":
             past = (d.test_num_past_frames if split == "test"
                     else d.num_past_frames)

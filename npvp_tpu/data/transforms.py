@@ -148,6 +148,7 @@ DATASET_STATS = {
 def build_transforms(name: str, train: bool):
     """Per-dataset transform pipeline + renormalizer (reference
     utils/dataset.py:33-60). Returns (transform, renorm)."""
+    name = "Cityscapes" if name == "CityScapes" else name
     stats = DATASET_STATS[name]
     norm = Normalize(stats["mean"], stats["std"])
     renorm = ReNormalize(stats["mean"], stats["std"])

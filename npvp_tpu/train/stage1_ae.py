@@ -1,0 +1,165 @@
+"""Stage-1 trainer: frame autoencoder with L1 reconstruction.
+
+Functional rebuild of the reference stage-1 pipeline
+(reference train_AutoEncoder_lightning.py + models/ResNetAutoEncoder.py:13-49):
+concat(past, future) → encoder → decoder → L1, Adam(0.5, 0.999), per-epoch
+validation driving best-checkpoint retention, GIF visual callback.
+
+TPU design: one jitted, donated train step; batch sharded over the mesh's
+``data`` axis (gradient all-reduce and cross-replica BN statistics are
+emitted by jit — the DDP + sync_batchnorm equivalent).
+"""
+
+from __future__ import annotations
+
+import sys
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from npvp_tpu.core.checkpoint import CheckpointManager
+from npvp_tpu.core.config import Config
+from npvp_tpu.core.metrics import (AverageMeters, MetricsLogger,
+                                   is_main_process, save_clip_gifs)
+from npvp_tpu.core.mesh import batch_sharding, replicated
+from npvp_tpu.core.optim import make_ae_optimizer
+from npvp_tpu.core.train_state import TrainState, param_count
+from npvp_tpu.data.loader import DataModule
+from npvp_tpu.nn.losses import l1_loss
+from npvp_tpu.nn.resnet_ae import FrameAutoEncoder
+from npvp_tpu.train.common import (build_argparser, compute_dtype,
+                                   load_cli_config, setup)
+
+
+def build_ae(cfg: Config, dtype) -> FrameAutoEncoder:
+    return FrameAutoEncoder(
+        img_channels=cfg.Dataset.img_channels, ngf=cfg.AE.ngf,
+        n_downsampling=cfg.AE.n_downsampling,
+        num_res_blocks=cfg.AE.num_res_blocks, out_layer=cfg.AE.out_layer,
+        learn_3d=cfg.AE.learn_3d, dtype=dtype)
+
+
+def init_state(cfg: Config, ae: FrameAutoEncoder, sample_shape) -> TrainState:
+    variables = ae.init(jax.random.key(cfg.Env.rand_seed),
+                        jnp.zeros(sample_shape, jnp.float32))
+    tx = make_ae_optimizer(cfg.AE.AE_lr)
+    return TrainState.create(apply_fn=ae.apply, params=variables["params"],
+                             batch_stats=variables.get("batch_stats", {}),
+                             tx=tx)
+
+
+def make_steps(ae: FrameAutoEncoder, mesh):
+    """Build the jitted train/eval steps with mesh shardings."""
+    rep = replicated(mesh)
+    data = batch_sharding(mesh)
+
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, dict]:
+        x = jnp.concatenate([batch["past"], batch["future"]], axis=1)
+
+        def loss_fn(params):
+            (rec, _), mutated = ae.apply(
+                {"params": params, "batch_stats": state.batch_stats}, x,
+                train=True, mutable=["batch_stats"])
+            return l1_loss(rec, x), mutated["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads, new_stats)
+        return state, {"L1_loss_train": loss}
+
+    def eval_step(state: TrainState, batch) -> dict:
+        x = jnp.concatenate([batch["past"], batch["future"]], axis=1)
+        rec, _ = ae.apply(state.variables, x, train=False)
+        return {"L1_loss_valid": l1_loss(rec, x)}
+
+    def vis_step(state: TrainState, batch):
+        x = jnp.concatenate([batch["past"], batch["future"]], axis=1)
+        rec, _ = ae.apply(state.variables, x, train=False)
+        return rec
+
+    train_step = jax.jit(train_step, donate_argnums=0,
+                         in_shardings=(rep, data), out_shardings=(rep, rep))
+    eval_step = jax.jit(eval_step, in_shardings=(rep, data),
+                        out_shardings=rep)
+    return train_step, eval_step, jax.jit(vis_step, in_shardings=(rep, data))
+
+
+def train(cfg: Config, max_steps: int | None = None) -> TrainState:
+    mesh = setup(cfg)
+    dtype = compute_dtype(cfg)
+    ae = build_ae(cfg, dtype)
+    dm = DataModule(cfg, jax.process_index(), jax.process_count())
+    d = cfg.Dataset
+    clip_len = d.num_past_frames + d.num_future_frames
+    state = init_state(cfg, ae, (1, clip_len, d.img_size, d.img_size,
+                                 d.img_channels))
+    if is_main_process():
+        print(f"AE parameters: {param_count(state.params) / 1e6:.2f}M")
+
+    ckpt = CheckpointManager(cfg.AE.ckpt_save_dir, max_to_keep=5,
+                             monitor="L1_loss_valid", mode="min")
+    start_epoch = cfg.AE.start_epoch
+    if cfg.AE.resume_ckpt:
+        resume = CheckpointManager(cfg.AE.resume_ckpt)
+        state = resume.restore(state)
+        start_epoch = int(state.step) // max(1, dm.len_train_loader or 1)
+
+    logger = MetricsLogger(cfg.AE.tensorboard_save_dir)
+    train_step, eval_step, vis_step = make_steps(ae, mesh)
+
+    train_loader = dm.train_loader()
+    val_loader = dm.val_loader()
+    cfg.save(f"{cfg.AE.ckpt_save_dir}/config.json")
+
+    step = int(state.step)
+    for epoch in range(start_epoch, cfg.AE.epochs):
+        train_loader.set_epoch(epoch)
+        meters = AverageMeters()
+        for batch in train_loader:
+            state, metrics = train_step(state, batch)
+            meters.update(metrics)
+            step += 1
+            if max_steps is not None and step >= max_steps:
+                break
+
+        val_meters = AverageMeters()
+        for batch in val_loader:
+            val_meters.update(eval_step(state, batch))
+        scalars = {**meters.averages(), **val_meters.averages()}
+        logger.log_scalars(step, scalars)
+        if is_main_process():
+            print(f"epoch {epoch}: " + " ".join(
+                f"{k}={v:.5f}" for k, v in scalars.items()))
+
+        ckpt.save(step, state, metrics={"L1_loss_valid":
+                                        scalars.get("L1_loss_valid", 0.0)})
+
+        if (cfg.Env.visual_callback and is_main_process()
+                and epoch % cfg.AE.log_per_epochs == 0):
+            batch = next(iter(val_loader))
+            rec = vis_step(state, batch)
+            gt = np.concatenate([batch["past"], batch["future"]], axis=1)
+            save_clip_gifs(
+                f"{cfg.AE.tensorboard_save_dir}/epoch_{epoch}.gif",
+                {"gt": gt[0], "rec": np.asarray(rec[0], np.float32)},
+                renorm=dm.renorm)
+        if max_steps is not None and step >= max_steps:
+            break
+
+    ckpt.wait()
+    logger.close()
+    return state
+
+
+def main(argv=None):
+    args = build_argparser("NPVP-TPU stage-1 autoencoder training").parse_args(
+        argv)
+    cfg = load_cli_config(args)
+    train(cfg, max_steps=20 if args.smoke else None)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

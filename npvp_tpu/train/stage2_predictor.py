@@ -1,0 +1,282 @@
+"""Stage-2 trainer: the NP predictor over a frozen stage-1 autoencoder.
+
+Functional rebuild of the reference stage-2 pipeline
+(reference train_Predictor_lightning.py + models/Predictor.py:12-262):
+
+- stage-1 AE restored and frozen **in eval mode** (BN running stats — the
+  reference freezes with ``.eval()``, models/Predictor.py:24-25, and its
+  quality depends on it; here the AE simply runs with
+  ``use_running_average=True`` under ``stop_gradient``);
+- loss = image-L1 + λ·feature-L1 (+ β·KL for NPVP-S), AdamW with per-batch
+  cosine warm restarts, grad clip on the NAR-decoder subtree only;
+- three modes: ``pairs`` (VFP), ``vfi`` (fixed interpolation split) and
+  ``rand_context`` (unified model) — the latter trains with full-``max_T``
+  masked batches so every split runs the same compiled program.
+
+The whole step (frozen AE encode → predictor fwd/bwd → frozen AE decode →
+losses → update) is ONE donated XLA program per mode.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from npvp_tpu.core.checkpoint import CheckpointManager
+from npvp_tpu.core.config import Config
+from npvp_tpu.core.metrics import (AverageMeters, MetricsLogger,
+                                   is_main_process, save_clip_gifs)
+from npvp_tpu.core.mesh import batch_sharding, shard_state
+from npvp_tpu.core.optim import make_predictor_optimizer
+from npvp_tpu.core.train_state import TrainState, param_count
+from npvp_tpu.data.loader import DataModule
+from npvp_tpu.models.coords import (coordinate_grid, full_coordinate_volume,
+                                    spatial_index_lists, task_time_lists)
+from npvp_tpu.models.predictor import NPPredictor, build_predictor
+from npvp_tpu.nn.losses import kl_divergence, l1_loss
+from npvp_tpu.nn.resnet_ae import FrameAutoEncoder
+from npvp_tpu.train.common import (build_argparser, compute_dtype,
+                                   load_cli_config, setup)
+from npvp_tpu.train.stage1_ae import build_ae, init_state as ae_init_state
+
+
+def load_frozen_ae(cfg: Config, dtype) -> Tuple[FrameAutoEncoder, dict]:
+    """Restore the stage-1 checkpoint and return (module, variables)
+    (reference models/Predictor.py:18-25)."""
+    ae = build_ae(cfg, dtype)
+    d = cfg.Dataset
+    clip_len = d.num_past_frames + d.num_future_frames
+    template = ae_init_state(cfg, ae,
+                             (1, clip_len, d.img_size, d.img_size,
+                              d.img_channels))
+    mngr = CheckpointManager(cfg.Predictor.resume_AE_ckpt)
+    restored = mngr.restore(template)
+    variables = {"params": restored.params,
+                 "batch_stats": restored.batch_stats}
+    return ae, jax.lax.stop_gradient(variables)
+
+
+def build_coords(cfg: Config, test: bool = False):
+    """Static observed/target coordinate grids for the configured task
+    (reference models/Predictor.py:28-41)."""
+    p, d = cfg.Predictor, cfg.Dataset
+    h, w = spatial_index_lists(p.max_H, p.max_W)
+    num_past = d.test_num_past_frames if test else d.num_past_frames
+    num_future = d.test_num_future_frames if test else d.num_future_frames
+    if p.VFI:
+        to, tp = task_time_lists("VFI", num_past, num_future,
+                                 p.context_num_p, p.context_num_f)
+    else:
+        to, tp = task_time_lists("VFP", num_past, num_future)
+    oc = coordinate_grid(to, h, w, p.max_T, p.max_H, p.max_W)
+    tc = coordinate_grid(tp, h, w, p.max_T, p.max_H, p.max_W)
+    return oc, tc, len(to), len(tp)
+
+
+def init_predictor_state(cfg: Config, predictor: NPPredictor,
+                         steps_per_epoch: int) -> TrainState:
+    p = cfg.Predictor
+    feat_shape = (1, 2, p.max_H, p.max_W, p.embed_dim)
+    oc = jnp.zeros((2 * p.max_H * p.max_W, 3))
+    rngs = {"params": jax.random.key(cfg.Env.rand_seed),
+            "latent": jax.random.key(1), "dropout": jax.random.key(2),
+            "droppath": jax.random.key(3)}
+    variables = predictor.init(rngs, jnp.zeros(feat_shape), oc, oc, 2,
+                               target_feats_gt=jnp.zeros(feat_shape),
+                               train=True)
+    tx = make_predictor_optimizer(
+        p.predictor_lr, p.max_grad_norm, p.use_cosine_scheduler,
+        p.scheduler_eta_min, p.scheduler_T0 * max(1, steps_per_epoch))
+    return TrainState.create(apply_fn=predictor.apply,
+                             params=variables["params"],
+                             batch_stats=variables.get("batch_stats", {}),
+                             tx=tx)
+
+
+def merge_det_init(det_params, sto_params):
+    """Initialize a stochastic model from a deterministic checkpoint: copy
+    every leaf that exists with the same shape (the reference's
+    ``load_from_checkpoint(strict=False)`` path,
+    train_Predictor_lightning.py:43-47)."""
+    def merge(sto, det):
+        if isinstance(sto, dict):
+            return {k: merge(v, det[k]) if isinstance(det, dict) and k in det
+                    else v for k, v in sto.items()}
+        if det is not None and getattr(det, "shape", None) == sto.shape:
+            return det
+        return sto
+    return merge(sto_params, det_params)
+
+
+def make_steps(cfg: Config, predictor: NPPredictor, ae: FrameAutoEncoder,
+               ae_vars: dict, mesh, mode: str):
+    p = cfg.Predictor
+    stochastic = p.stochastic
+    data_shard = batch_sharding(mesh)
+
+    def encode(frames):
+        return jax.lax.stop_gradient(
+            ae.apply(ae_vars, frames, train=False,
+                     method=FrameAutoEncoder.encode))
+
+    def decode(feats):
+        return ae.apply(ae_vars, feats, train=False,
+                        method=FrameAutoEncoder.decode)
+
+    if mode == "rand_context":
+        vol = full_coordinate_volume(p.max_T, p.max_H, p.max_W)
+        all_coords = vol.reshape(-1, 3)
+
+        def forward(params, batch_stats, batch, rng, train):
+            clip_feats = encode(batch["clip"])
+            rngs = {"latent": jax.random.fold_in(rng, 0),
+                    "dropout": jax.random.fold_in(rng, 1),
+                    "droppath": jax.random.fold_in(rng, 2)}
+            out, mutated = predictor.apply(
+                {"params": params, "batch_stats": batch_stats},
+                clip_feats, all_coords, all_coords, p.max_T,
+                target_feats_gt=clip_feats if stochastic else None,
+                obs_mask=batch["obs_mask"], tgt_mask=batch["tgt_mask"],
+                train=train, rngs=rngs, mutable=["batch_stats"])
+            pred_frames = decode(out.pred_features)
+            tgt_m = batch["tgt_mask"].astype(jnp.float32)
+            img_l1 = l1_loss(pred_frames, batch["clip"], mask=tgt_m)
+            pf_l1 = l1_loss(out.pred_features, clip_feats, lam=p.lam_PF_L1,
+                            mask=tgt_m)
+            kl = (kl_divergence(out.mu_o, out.logvar_o, out.mu_p,
+                                out.logvar_p, p.KL_beta)
+                  if stochastic else 0.0)
+            loss = img_l1 + pf_l1 + kl
+            metrics = {"loss": loss, "Image_L1": img_l1, "PF_L1": pf_l1}
+            if stochastic:
+                metrics["KL_loss"] = kl
+            return loss, (metrics, mutated["batch_stats"])
+    else:
+        oc, tc, num_obs, num_tgt = build_coords(cfg)
+
+        def forward(params, batch_stats, batch, rng, train):
+            past_feats = encode(batch["past"])
+            future_feats = encode(batch["future"])
+            rngs = {"latent": jax.random.fold_in(rng, 0),
+                    "dropout": jax.random.fold_in(rng, 1),
+                    "droppath": jax.random.fold_in(rng, 2)}
+            out, mutated = predictor.apply(
+                {"params": params, "batch_stats": batch_stats},
+                past_feats, oc, tc, num_tgt,
+                target_feats_gt=future_feats if stochastic else None,
+                train=train, rngs=rngs, mutable=["batch_stats"])
+            pred_frames = decode(out.pred_features)
+            img_l1 = l1_loss(pred_frames, batch["future"])
+            pf_l1 = l1_loss(out.pred_features, future_feats,
+                            lam=p.lam_PF_L1)
+            kl = (kl_divergence(out.mu_o, out.logvar_o, out.mu_p,
+                                out.logvar_p, p.KL_beta)
+                  if stochastic else 0.0)
+            loss = img_l1 + pf_l1 + kl
+            metrics = {"loss": loss, "Image_L1": img_l1, "PF_L1": pf_l1}
+            if stochastic:
+                metrics["KL_loss"] = kl
+            return loss, (metrics, mutated["batch_stats"])
+
+    def train_step(state: TrainState, batch, rng):
+        grad_fn = jax.value_and_grad(forward, has_aux=True)
+        (_, (metrics, new_stats)), grads = grad_fn(
+            state.params, state.batch_stats, batch, rng, True)
+        state = state.apply_gradients(grads, new_stats)
+        return state, metrics
+
+    def eval_step(state: TrainState, batch, rng):
+        _, (metrics, _) = forward(state.params, state.batch_stats, batch,
+                                  rng, False)
+        return {k + "_val": v for k, v in metrics.items()}
+
+    train_step = jax.jit(train_step, donate_argnums=0)
+    eval_step = jax.jit(eval_step)
+
+    def place(batch):
+        return jax.device_put(batch, data_shard)
+
+    return train_step, eval_step, place, decode, encode
+
+
+def train(cfg: Config, max_steps: Optional[int] = None) -> TrainState:
+    mesh = setup(cfg)
+    dtype = compute_dtype(cfg)
+    ae, ae_vars = load_frozen_ae(cfg, dtype)
+    predictor = build_predictor(cfg, dtype)
+    dm = DataModule(cfg, jax.process_index(), jax.process_count())
+    mode = dm.predictor_mode()
+    train_loader = dm.train_loader(mode)
+    val_loader = dm.val_loader(mode)
+
+    state = init_predictor_state(cfg, predictor, dm.len_train_loader or 1)
+    if cfg.Predictor.init_det_ckpt_for_vae:
+        det_mngr = CheckpointManager(cfg.Predictor.init_det_ckpt_for_vae)
+        det = det_mngr.restore(state)  # shapes differ where stochastic-only
+        state = state.replace(params=merge_det_init(det.params, state.params))
+    state = shard_state(mesh, state)
+
+    if is_main_process():
+        print(f"Predictor parameters: {param_count(state.params) / 1e6:.2f}M"
+              f" | mode={mode}")
+
+    ckpt = CheckpointManager(cfg.Predictor.ckpt_save_dir,
+                             max_to_keep=cfg.Predictor.epochs,
+                             monitor="loss_val", mode="min")
+    start_epoch = cfg.Predictor.start_epoch
+    if cfg.Predictor.resume_ckpt:
+        state = CheckpointManager(cfg.Predictor.resume_ckpt).restore(state)
+        start_epoch = int(state.step) // max(1, dm.len_train_loader or 1)
+
+    logger = MetricsLogger(cfg.Predictor.tensorboard_save_dir)
+    train_step, eval_step, place, decode, encode = make_steps(
+        cfg, predictor, ae, ae_vars, mesh, mode)
+    cfg.save(f"{cfg.Predictor.ckpt_save_dir}/config.json")
+
+    base_rng = jax.random.key(cfg.Env.rand_seed)
+    step = int(state.step)
+    for epoch in range(start_epoch, cfg.Predictor.epochs):
+        train_loader.set_epoch(epoch)
+        meters = AverageMeters()
+        for batch in train_loader:
+            state, metrics = train_step(state, place(batch),
+                                        jax.random.fold_in(base_rng, step))
+            meters.update(metrics)
+            step += 1
+            if max_steps is not None and step >= max_steps:
+                break
+
+        val_meters = AverageMeters()
+        val_rng = jax.random.fold_in(base_rng, 10 ** 9 + epoch)
+        for i, batch in enumerate(val_loader):
+            val_meters.update(eval_step(state, place(batch),
+                                        jax.random.fold_in(val_rng, i)))
+        scalars = {**{k + "_train": v for k, v in meters.averages().items()},
+                   **val_meters.averages()}
+        logger.log_scalars(step, scalars)
+        if is_main_process():
+            print(f"epoch {epoch}: " + " ".join(
+                f"{k}={v:.5f}" for k, v in scalars.items()))
+        ckpt.save(step, state,
+                  metrics={"loss_val": scalars.get("loss_val", 0.0)})
+        if max_steps is not None and step >= max_steps:
+            break
+
+    ckpt.wait()
+    logger.close()
+    return state
+
+
+def main(argv=None):
+    args = build_argparser("NPVP-TPU stage-2 predictor training").parse_args(
+        argv)
+    cfg = load_cli_config(args)
+    train(cfg, max_steps=10 if args.smoke else None)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,198 @@
+"""End-to-end training smoke tests (stage 1 → stage 2) on the procedural
+SM-MNIST fixture, plus the masked-mode ≡ static-mode equivalence proof for
+the unified/rand-context design."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from npvp_tpu.core.config import Config
+from npvp_tpu.models.coords import (coordinate_grid, full_coordinate_volume,
+                                    spatial_index_lists)
+from npvp_tpu.models.predictor import NPPredictor
+
+
+def tiny_config(tmp_path) -> Config:
+    cfg = Config()
+    cfg.Dataset.name = "SMMNIST"
+    cfg.Dataset.img_size = 16
+    cfg.Dataset.num_past_frames = 2
+    cfg.Dataset.num_future_frames = 2
+    cfg.Dataset.test_num_past_frames = 2
+    cfg.Dataset.test_num_future_frames = 2
+    cfg.Dataset.batch_size = 2
+    cfg.Dataset.dev_set_size = 4
+    cfg.Dataset.num_workers = 1
+    cfg.Dataset.phase = "debug"
+    cfg.AE.ngf = 4
+    cfg.AE.n_downsampling = 1
+    cfg.AE.num_res_blocks = 1
+    cfg.AE.out_layer = "Sigmoid"
+    cfg.AE.epochs = 1
+    cfg.AE.ckpt_save_dir = str(tmp_path / "ae_ckpt")
+    cfg.AE.tensorboard_save_dir = str(tmp_path / "ae_tb")
+    cfg.Predictor.max_T = 4
+    cfg.Predictor.max_H = 8
+    cfg.Predictor.max_W = 8
+    cfg.Predictor.embed_dim = 8
+    cfg.Predictor.num_heads = 2
+    cfg.Predictor.transformer_layers = 1
+    cfg.Predictor.evt_former_num_layers = 1
+    cfg.Predictor.evt_hidden_channels = 4
+    cfg.Predictor.dim_feedforward = 16
+    cfg.Predictor.epochs = 1
+    cfg.Predictor.ckpt_save_dir = str(tmp_path / "pred_ckpt")
+    cfg.Predictor.tensorboard_save_dir = str(tmp_path / "pred_tb")
+    cfg.Predictor.resume_AE_ckpt = cfg.AE.ckpt_save_dir
+    cfg.Env.compute_dtype = "float32"
+    cfg.Env.visual_callback = False
+    return cfg.validate()
+
+
+# SM-MNIST digit canvas must match img_size; patch a small canvas dataset.
+@pytest.fixture()
+def small_smmnist(monkeypatch):
+    from npvp_tpu.data import loader as loader_mod
+    from npvp_tpu.data.smmnist import StochasticMovingMNIST
+
+    orig = StochasticMovingMNIST
+
+    def factory(*args, **kwargs):
+        kwargs.setdefault("image_size", 16)
+        kwargs.setdefault("digit_size", 8)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(loader_mod, "StochasticMovingMNIST", factory)
+
+
+def test_stage1_then_stage2_deterministic(tmp_path, small_smmnist):
+    from npvp_tpu.train import stage1_ae, stage2_predictor
+
+    cfg = tiny_config(tmp_path)
+    state = stage1_ae.train(cfg, max_steps=2)
+    assert int(state.step) == 2
+    assert (tmp_path / "ae_ckpt").exists()
+
+    state2 = stage2_predictor.train(cfg, max_steps=2)
+    assert int(state2.step) == 2
+    assert (tmp_path / "pred_ckpt").exists()
+    # metrics logged
+    assert (tmp_path / "pred_tb" / "metrics.jsonl").exists()
+
+
+def test_stage2_stochastic_rand_context(tmp_path, small_smmnist):
+    from npvp_tpu.train import stage1_ae, stage2_predictor
+
+    cfg = tiny_config(tmp_path)
+    stage1_ae.train(cfg, max_steps=1)
+    cfg.Predictor.stochastic = True
+    cfg.Predictor.rand_context = True
+    cfg.Predictor.min_lo = 1
+    cfg.Predictor.max_lo = 3
+    state = stage2_predictor.train(cfg, max_steps=2)
+    assert int(state.step) == 2
+
+
+def make_tiny_predictor(stochastic=False, dropout=0.0):
+    return NPPredictor(embed_dim=8, num_heads=2, window_size=4,
+                       transformer_layers=1, evt_former_num_layers=1,
+                       evt_hidden_channels=4, dim_feedforward=16,
+                       stochastic=stochastic, dropout=dropout,
+                       drop_path=0.0)
+
+
+def test_masked_mode_equals_static_mode():
+    """A full-max_T masked run must reproduce the compact static run at the
+    target positions — the correctness proof for replacing the reference's
+    per-batch tensor re-slicing (models/Predictor.py:241-251) with masks."""
+    T, H, W, C = 4, 8, 8, 8
+    To = 2
+    model = make_tiny_predictor()
+    h, w = spatial_index_lists(H, W)
+
+    clip_feats = jax.random.uniform(jax.random.key(0), (2, T, H, W, C))
+    # static: observe frames [0, 1], predict frames [2, 3]
+    oc = coordinate_grid(jnp.arange(To, dtype=jnp.float32), h, w, T, H, W)
+    tc = coordinate_grid(jnp.arange(To, T, dtype=jnp.float32), h, w, T, H, W)
+    variables = model.init({"params": jax.random.key(1)},
+                           clip_feats[:, :To], oc, tc, T - To)
+    static_out = model.apply(variables, clip_feats[:, :To], oc, tc, T - To)
+
+    # masked: full clip + masks over all T
+    all_coords = full_coordinate_volume(T, H, W).reshape(-1, 3)
+    obs_mask = jnp.array([True, True, False, False])
+    masked_out = model.apply(variables, clip_feats, all_coords, all_coords,
+                             T, obs_mask=obs_mask, tgt_mask=~obs_mask)
+
+    np.testing.assert_allclose(
+        np.asarray(masked_out.pred_features[:, To:]),
+        np.asarray(static_out.pred_features), atol=2e-4)
+
+
+def test_masked_mode_no_target_leakage():
+    """Perturbing *target* frames of the input clip must not change the
+    prediction (only observed frames may influence it)."""
+    T, H, W, C = 4, 8, 8, 8
+    model = make_tiny_predictor()
+    all_coords = full_coordinate_volume(T, H, W).reshape(-1, 3)
+    obs_mask = jnp.array([True, False, True, False])
+
+    clip = jax.random.uniform(jax.random.key(0), (1, T, H, W, C))
+    variables = model.init({"params": jax.random.key(1)}, clip, all_coords,
+                           all_coords, T, obs_mask=obs_mask,
+                           tgt_mask=~obs_mask)
+    out1 = model.apply(variables, clip, all_coords, all_coords, T,
+                       obs_mask=obs_mask, tgt_mask=~obs_mask)
+    clip2 = clip.at[:, 1].add(100.0).at[:, 3].add(-50.0)
+    out2 = model.apply(variables, clip2, all_coords, all_coords, T,
+                       obs_mask=obs_mask, tgt_mask=~obs_mask)
+    np.testing.assert_allclose(np.asarray(out1.pred_features[:, 1]),
+                               np.asarray(out2.pred_features[:, 1]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out1.pred_features[:, 3]),
+                               np.asarray(out2.pred_features[:, 3]),
+                               atol=1e-5)
+
+
+def test_stochastic_train_vs_eval_latent_paths():
+    """NPVP-S: training decodes from the posterior sample, eval from the
+    prior sample (reference models/Predictor.py:308-326)."""
+    T, H, W, C = 4, 8, 8, 8
+    To = 2
+    model = make_tiny_predictor(stochastic=True)
+    h, w = spatial_index_lists(H, W)
+    oc = coordinate_grid(jnp.arange(To, dtype=jnp.float32), h, w, T, H, W)
+    tc = coordinate_grid(jnp.arange(To, T, dtype=jnp.float32), h, w, T, H, W)
+    obs = jax.random.uniform(jax.random.key(0), (2, To, H, W, C))
+    tgt = jax.random.uniform(jax.random.key(1), (2, T - To, H, W, C))
+    rngs = {"params": jax.random.key(2), "latent": jax.random.key(3),
+            "dropout": jax.random.key(4), "droppath": jax.random.key(5)}
+    variables = model.init(rngs, obs, oc, tc, T - To, target_feats_gt=tgt,
+                           train=True)
+
+    out_train, _ = model.apply(variables, obs, oc, tc, T - To,
+                               target_feats_gt=tgt, train=True,
+                               rngs={"latent": jax.random.key(6),
+                                     "dropout": jax.random.key(7),
+                                     "droppath": jax.random.key(8)},
+                               mutable=["batch_stats"])
+    assert out_train.mu_p is not None and out_train.logvar_p is not None
+    assert np.isfinite(np.asarray(out_train.pred_features)).all()
+
+    # eval: no target needed, prior is used
+    out_eval = model.apply(variables, obs, oc, tc, T - To,
+                           rngs={"latent": jax.random.key(9)})
+    assert out_eval.mu_p is None
+    assert np.isfinite(np.asarray(out_eval.pred_features)).all()
+
+    # two different latent keys → different stochastic predictions
+    out_eval2 = model.apply(variables, obs, oc, tc, T - To,
+                            rngs={"latent": jax.random.key(10)})
+    assert np.abs(np.asarray(out_eval.pred_features)
+                  - np.asarray(out_eval2.pred_features)).max() > 1e-6
+    # same key → identical
+    out_eval3 = model.apply(variables, obs, oc, tc, T - To,
+                            rngs={"latent": jax.random.key(9)})
+    np.testing.assert_allclose(np.asarray(out_eval.pred_features),
+                               np.asarray(out_eval3.pred_features))
