@@ -19,8 +19,14 @@ def test_make_mesh_shapes():
     assert mesh.shape["data"] == 8 and mesh.shape["model"] == 1
     mesh = make_mesh(data=-1, model=2)
     assert mesh.shape["data"] == 4 and mesh.shape["model"] == 2
+    # subset meshes are allowed (debug batches on big hosts)
+    mesh = make_mesh(data=3, model=2)
+    assert mesh.shape["data"] == 3
+    # data axis clamps to a divisor of the batch size
+    mesh = make_mesh(data=8, batch_size=6)
+    assert mesh.shape["data"] == 2
     with pytest.raises(ValueError):
-        make_mesh(data=3, model=2)
+        make_mesh(data=16, model=2)
 
 
 def test_param_spec_rules():
