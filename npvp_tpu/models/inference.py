@@ -1,0 +1,164 @@
+"""Inference API: one trained unified model serving the five tasks.
+
+Equivalent of the reference's notebook-driven inference
+(reference Inference.ipynb cells 1-4 + models/Predictor.py:352-359
+``reset_pos_coor``): a task is *only* a choice of observed/target time
+coordinate lists —
+
+- VFP  — observe 0..P-1, generate P..T-1 (future prediction)
+- VPE  — observe the tail, generate the head (past extrapolation)
+- VFI  — observe both ends, generate the middle (interpolation)
+- VRC  — arbitrary observed/target index split (random completion)
+- HVRC — fractional target times (continuous temporal super-resolution)
+
+TPU design: the whole pipeline (AE encode → predictor → AE decode) is one
+jitted program; programs are cached per (To, TP) shape, so repeated calls with
+new coordinate *values* (including fractional times) never recompile.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from npvp_tpu.core.config import Config
+from npvp_tpu.models.coords import coordinate_grid, spatial_index_lists
+from npvp_tpu.models.predictor import NPPredictor, build_predictor
+from npvp_tpu.nn.resnet_ae import FrameAutoEncoder
+
+
+class VideoPredictor:
+    """Frozen AE + trained NP predictor with a continuous-time query API."""
+
+    def __init__(self, cfg: Config, ae: FrameAutoEncoder, ae_vars: dict,
+                 predictor: NPPredictor, predictor_vars: dict):
+        self.cfg = cfg
+        self.ae = ae
+        self.ae_vars = ae_vars
+        self.predictor = predictor
+        self.predictor_vars = predictor_vars
+        p = cfg.Predictor
+        self.h_list, self.w_list = spatial_index_lists(p.max_H, p.max_W)
+        self._compiled = {}
+
+    # -- construction --------------------------------------------------------
+    @classmethod
+    def from_checkpoints(cls, cfg: Config, ae_ckpt_dir: str,
+                         predictor_ckpt_dir: str,
+                         dtype=jnp.bfloat16) -> "VideoPredictor":
+        from npvp_tpu.train.stage1_ae import build_ae, init_state
+        from npvp_tpu.train.stage2_predictor import init_predictor_state
+        from npvp_tpu.core.checkpoint import CheckpointManager
+
+        ae = build_ae(cfg, dtype)
+        d = cfg.Dataset
+        clip_len = d.num_past_frames + d.num_future_frames
+        ae_state = CheckpointManager(ae_ckpt_dir).restore(
+            init_state(cfg, ae, (1, clip_len, d.img_size, d.img_size,
+                                 d.img_channels)))
+        predictor = build_predictor(cfg, dtype)
+        pred_state = CheckpointManager(predictor_ckpt_dir).restore(
+            init_predictor_state(cfg, predictor, 1))
+        return cls(cfg, ae,
+                   {"params": ae_state.params,
+                    "batch_stats": ae_state.batch_stats},
+                   predictor,
+                   {"params": pred_state.params,
+                    "batch_stats": pred_state.batch_stats})
+
+    @classmethod
+    def from_random_init(cls, cfg: Config, dtype=jnp.bfloat16, seed: int = 0
+                         ) -> "VideoPredictor":
+        """Random weights — for benchmarking/compile checks."""
+        from npvp_tpu.train.stage1_ae import build_ae
+
+        d, p = cfg.Dataset, cfg.Predictor
+        ae = build_ae(cfg, dtype)
+        ae_vars = ae.init(jax.random.key(seed),
+                          jnp.zeros((1, 2, d.img_size, d.img_size,
+                                     d.img_channels)))
+        predictor = build_predictor(cfg, dtype)
+        feats = jnp.zeros((1, 2, p.max_H, p.max_W, p.embed_dim))
+        oc = jnp.zeros((2 * p.max_H * p.max_W, 3))
+        pred_vars = predictor.init(
+            {"params": jax.random.key(seed + 1),
+             "latent": jax.random.key(seed + 2)}, feats, oc, oc, 2)
+        return cls(cfg, ae, ae_vars, predictor, pred_vars)
+
+    # -- core ---------------------------------------------------------------
+    def _pipeline(self, num_target: int):
+        """Build + cache the jitted frames→frames program for a TP size."""
+        key = num_target
+
+        if key not in self._compiled:
+            def run(ae_vars, pred_vars, frames, obs_coords, tgt_coords,
+                    latent_key):
+                feats = self.ae.apply(ae_vars, frames, train=False,
+                                      method=FrameAutoEncoder.encode)
+                out = self.predictor.apply(
+                    pred_vars, feats, obs_coords, tgt_coords, num_target,
+                    rngs={"latent": latent_key})
+                pred = self.ae.apply(ae_vars, out.pred_features, train=False,
+                                     method=FrameAutoEncoder.decode)
+                return pred
+
+            self._compiled[key] = jax.jit(run, static_argnums=())
+        return self._compiled[key]
+
+    def _coords(self, t_list) -> jnp.ndarray:
+        p = self.cfg.Predictor
+        return coordinate_grid(jnp.asarray(t_list, jnp.float32), self.h_list,
+                               self.w_list, p.max_T, p.max_H, p.max_W)
+
+    def predict(self, observed_frames, to_list: Sequence[float],
+                tp_list: Sequence[float],
+                rng: Optional[jax.Array] = None) -> jnp.ndarray:
+        """observed_frames: (N, To, H, W, C) normalized frames observed at
+        times ``to_list``; returns (N, TP, H, W, C) frames at ``tp_list``.
+        Arbitrary (fractional) times are data, not shapes — no recompile."""
+        to_list = np.asarray(to_list, np.float32)
+        tp_list = np.asarray(tp_list, np.float32)
+        assert observed_frames.shape[1] == len(to_list)
+        fn = self._pipeline(len(tp_list))
+        rng = rng if rng is not None else jax.random.key(0)
+        return fn(self.ae_vars, self.predictor_vars,
+                  jnp.asarray(observed_frames), self._coords(to_list),
+                  self._coords(tp_list), rng)
+
+    # -- the five tasks ------------------------------------------------------
+    def vfp(self, past_frames, num_future: int, rng=None):
+        P = past_frames.shape[1]
+        return self.predict(past_frames, np.arange(P),
+                            np.arange(P, P + num_future), rng)
+
+    def vpe(self, future_frames, num_past: int, rng=None):
+        F = future_frames.shape[1]
+        return self.predict(future_frames, np.arange(num_past, num_past + F),
+                            np.arange(num_past), rng)
+
+    def vfi(self, boundary_frames, context_p: int, context_f: int,
+            num_interpolate: int, rng=None):
+        total = context_p + context_f + num_interpolate
+        to = np.concatenate([np.arange(context_p),
+                             np.arange(total - context_f, total)])
+        tp = np.arange(context_p, total - context_f)
+        return self.predict(boundary_frames, to, tp, rng)
+
+    def vrc(self, observed_frames, observed_times, target_times, rng=None):
+        return self.predict(observed_frames, observed_times, target_times,
+                            rng)
+
+    def hvrc(self, observed_frames, observed_times, target_times, rng=None):
+        """Continuous generation: ``target_times`` may be fractional."""
+        return self.predict(observed_frames, observed_times, target_times,
+                            rng)
+
+    def reconstruct(self, frames):
+        """AE round-trip (the reference forward also returns reconstructions,
+        models/Predictor.py:72-86)."""
+        rec, _ = self.ae.apply(self.ae_vars, jnp.asarray(frames), train=False)
+        return rec
