@@ -139,7 +139,7 @@ class ConvBNAct(nn.Module):
     features: int
     kernel_size: tuple = (3, 3)
     strides: tuple = (1, 1)
-    padding: str | tuple = "SAME"
+    padding: str | tuple = "TORCH_SAME"
     use_bias: bool = False
     activation: Optional[Callable] = nn.relu
     feature_group_count: int = 1
@@ -147,8 +147,14 @@ class ConvBNAct(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        padding = self.padding
+        if padding == "TORCH_SAME":
+            # torch Conv2d(padding=k//2) semantics: symmetric padding
+            # regardless of stride (XLA 'SAME' pads asymmetrically for
+            # stride 2, which would shift features by one pixel)
+            padding = tuple((k // 2, k // 2) for k in self.kernel_size)
         x = nn.Conv(self.features, self.kernel_size, strides=self.strides,
-                    padding=self.padding, use_bias=self.use_bias,
+                    padding=padding, use_bias=self.use_bias,
                     feature_group_count=self.feature_group_count,
                     dtype=self.dtype, param_dtype=jnp.float32, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,

@@ -1,0 +1,214 @@
+"""Checkpoint-converter parity: converted weights must make our Flax modules
+reproduce the genuine reference (PyTorch) computation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from npvp_tpu.tools import torch_converter as tc
+
+from tests._reference_shim import load_reference
+
+
+def t2n(x):
+    return x.detach().cpu().numpy()
+
+
+def test_conv2d_kernel_conversion():
+    torch.manual_seed(0)
+    conv = torch.nn.Conv2d(3, 8, 3, padding=1)
+    x = torch.randn(2, 3, 8, 8)
+    expect = t2n(conv(x)).transpose(0, 2, 3, 1)
+
+    from flax import linen as nn
+
+    fconv = nn.Conv(8, (3, 3), padding="SAME")
+    variables = {"params": {"kernel": tc.conv2d_kernel(conv.weight),
+                            "bias": tc._np(conv.bias)}}
+    got = fconv.apply(variables, jnp.asarray(t2n(x).transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got), expect, atol=1e-5)
+
+
+def test_conv_transpose2d_kernel_conversion():
+    """ConvTranspose2d(k=3, s=2, p=1, op=1) ≡ flax ConvTranspose with
+    padding ((1,2),(1,2)) + transpose_kernel (the decoder upsample layer,
+    reference models/ResNetAutoEncoder.py:169-183)."""
+    torch.manual_seed(0)
+    conv = torch.nn.ConvTranspose2d(4, 6, 3, stride=2, padding=1,
+                                    output_padding=1, bias=False)
+    x = torch.randn(2, 4, 8, 8)
+    expect = t2n(conv(x)).transpose(0, 2, 3, 1)
+    assert expect.shape == (2, 16, 16, 6)
+
+    from flax import linen as nn
+
+    fconv = nn.ConvTranspose(6, (3, 3), strides=(2, 2),
+                             padding=((1, 2), (1, 2)), use_bias=False,
+                             transpose_kernel=True)
+    variables = {"params": {"kernel":
+                            tc.conv_transpose2d_kernel(conv.weight)}}
+    got = fconv.apply(variables, jnp.asarray(t2n(x).transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got), expect, atol=1e-5)
+
+
+def test_mha_packed_conversion():
+    torch.manual_seed(0)
+    C, heads, L, N = 16, 4, 6, 3
+    mha = torch.nn.MultiheadAttention(C, heads, dropout=0.0)
+    q = torch.randn(L, N, C)
+    kv = torch.randn(L, N, C)
+    expect = t2n(mha(q, q, kv)[0]).transpose(1, 0, 2)  # (N, L, C)
+
+    from npvp_tpu.nn.layers import MultiHeadAttention
+
+    ours = MultiHeadAttention(C, heads)
+    params = tc.mha_params(mha.state_dict(), "", heads)
+    # strip the leading "." key artifact
+    params = {k: v for k, v in params.items()}
+    qn = jnp.asarray(t2n(q).transpose(1, 0, 2))
+    kn = jnp.asarray(t2n(kv).transpose(1, 0, 2))
+    got = ours.apply({"params": params}, qn, qn, kn)
+    np.testing.assert_allclose(np.asarray(got), expect, atol=1e-5)
+
+
+def test_layernorm_chw_conversion():
+    torch.manual_seed(0)
+    C, H, W = 6, 4, 4
+    ln = torch.nn.LayerNorm((C, H, W))
+    with torch.no_grad():
+        ln.weight.normal_()
+        ln.bias.normal_()
+    x = torch.randn(3, C, H, W)
+    expect = t2n(ln(x)).transpose(0, 2, 3, 1)
+
+    from npvp_tpu.nn.layers import LayerNormHWC
+
+    got = LayerNormHWC().apply(
+        {"params": {"scale": tc.layernorm_chw(ln.weight),
+                    "bias": tc.layernorm_chw(ln.bias)}},
+        jnp.asarray(t2n(x).transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got), expect, atol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def ref():
+    return load_reference()
+
+
+def test_full_ae_parity(ref):
+    """Converted reference AE reproduces encoder+decoder outputs."""
+    torch.manual_seed(0)
+
+    class Holder(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.VPTR_Enc = ref.ae.ResnetEncoder(
+                1, ngf=4, n_downsampling=2, num_res_blocks=1, learn_3d=False)
+            self.VPTR_Dec = ref.ae.ResnetDecoder(1, ngf=4, n_downsampling=2)
+
+    holder = Holder().eval()
+    x = torch.randn(2, 3, 1, 16, 16)  # (N, T, C, H, W)
+    with torch.no_grad():
+        feats = holder.VPTR_Enc(x)
+        rec = holder.VPTR_Dec(feats)
+
+    from npvp_tpu.nn.resnet_ae import FrameAutoEncoder
+
+    ae = FrameAutoEncoder(img_channels=1, ngf=4, n_downsampling=2,
+                          num_res_blocks=1)
+    variables = tc.convert_ae(holder.state_dict(), n_downsampling=2,
+                              num_res_blocks=1)
+    xn = jnp.asarray(t2n(x).transpose(0, 1, 3, 4, 2))
+    got_rec, got_feats = ae.apply(variables, xn, train=False)
+
+    np.testing.assert_allclose(np.asarray(got_feats),
+                               t2n(feats).transpose(0, 1, 3, 4, 2),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_rec),
+                               t2n(rec).transpose(0, 1, 3, 4, 2), atol=2e-4)
+
+
+def test_full_predictor_parity(ref):
+    """Converted reference Predictor (deterministic) reproduces the full
+    forward: NRMLP → EVT-Former → event encoder → NAR decoder."""
+    torch.manual_seed(0)
+    To, TP, H, W, C, heads = 2, 2, 8, 8, 16, 2
+    to_list = torch.linspace(0, To - 1, To)
+    tp_list = torch.linspace(To, To + TP - 1, TP)
+    h = torch.linspace(0, H - 1, H)
+    w = torch.linspace(0, W - 1, W)
+    ref_model = ref.predictor.Predictor(
+        H, W, To + TP, h, w, to_list, tp_list, embed_dim=C,
+        fuse_method="Add", param_free_norm_type="layer",
+        evt_hidden_channels=8, evt_n_layers=1, stochastic=False,
+        transformer_layers=1, num_heads=heads, window_size=4, dropout=0.0,
+        drop_path=0.0, dim_feedforward=32, norm=torch.nn.LayerNorm(C),
+        evt_former=True, learn_evt_token=False, evt_former_num_layers=1,
+        rand_context=False).eval()
+
+    obs = torch.randn(2, To, C, H, W)
+    with torch.no_grad():
+        expect = t2n(ref_model(obs)).transpose(0, 1, 3, 4, 2)
+
+    from npvp_tpu.models.coords import coordinate_grid, spatial_index_lists
+    from npvp_tpu.models.predictor import NPPredictor
+
+    ours = NPPredictor(embed_dim=C, num_heads=heads, window_size=4,
+                       transformer_layers=1, evt_former_num_layers=1,
+                       evt_hidden_channels=8, dim_feedforward=32,
+                       stochastic=False, dropout=0.0, drop_path=0.0)
+    variables = tc.convert_predictor(ref_model.state_dict(), heads,
+                                     evt_former_num_layers=1,
+                                     transformer_layers=1, stochastic=False)
+    hj, wj = spatial_index_lists(H, W)
+    oc = coordinate_grid(jnp.arange(To, dtype=jnp.float32), hj, wj,
+                         To + TP, H, W)
+    tcc = coordinate_grid(jnp.arange(To, To + TP, dtype=jnp.float32), hj, wj,
+                          To + TP, H, W)
+    out = ours.apply(variables, jnp.asarray(t2n(obs).transpose(0, 1, 3, 4, 2)),
+                     oc, tcc, TP)
+    got = np.asarray(out.pred_features)
+    np.testing.assert_allclose(got, expect, atol=5e-4)
+
+
+def test_full_i3d_conversion_structure(ref):
+    """Converted reference I3D state_dict matches our InceptionI3d parameter
+    structure (full forward parity needs the real Kinetics ckpt; structure +
+    Unit3D numerics are covered here)."""
+    import importlib.util
+
+    # load the file directly — the reference utils package __init__ pulls in
+    # unavailable deps (torchvision)
+    spec = importlib.util.spec_from_file_location(
+        "ref_pytorch_i3d", "/root/reference/utils/pytorch_i3d.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    TorchI3d = mod.InceptionI3d
+
+    torch.manual_seed(0)
+    ti3d = TorchI3d(num_classes=400, in_channels=3).eval()
+    sd = {k.replace("end_points.", "").replace("Logits.conv3d", "logits.conv3d"):
+          v for k, v in ti3d.state_dict().items()}
+    # torch names: Mixed_3b.b0.conv3d.weight etc. via Sequential wrappers;
+    # flatten branch module names
+    sd = {k.replace(".0.conv3d", ".conv3d").replace(".1.conv3d", ".conv3d"):
+          v for k, v in sd.items()}
+    variables = tc.convert_i3d(sd)
+
+    from npvp_tpu.eval.i3d import InceptionI3d
+
+    model = InceptionI3d()
+    target = model.init(jax.random.key(0), jnp.zeros((1, 9, 32, 32, 3)))
+    got_paths = {"/".join(map(str, p)) for p, _ in
+                 jax.tree_util.tree_flatten_with_path(
+                     variables["params"])[0]}
+    want_paths = {"/".join(str(getattr(k, "key", k)) for k in p)
+                  for p, _ in jax.tree_util.tree_flatten_with_path(
+                      target["params"])[0]}
+    got_paths = {"/".join(str(getattr(k, "key", k)) for k in p)
+                 for p, _ in jax.tree_util.tree_flatten_with_path(
+                     variables["params"])[0]}
+    missing = want_paths - got_paths
+    assert not missing, f"converter missing params: {sorted(missing)[:10]}"

@@ -1,0 +1,109 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from npvp_tpu.eval.fvd import FVD, frechet_distance, preprocess_videos
+from npvp_tpu.eval.metrics import mse_score, pred_ave_metrics, psnr, ssim
+
+
+def test_psnr_closed_form():
+    x = jnp.zeros((2, 8, 8, 1))
+    y = jnp.full((2, 8, 8, 1), 0.1)
+    # mse = 0.01 → psnr = -10 log10(0.01 + 1e-8) ≈ 20
+    assert float(psnr(x, y)) == pytest.approx(20.0, abs=0.01)
+    # identical images → capped by eps at 80
+    assert float(psnr(x, x)) == pytest.approx(80.0, abs=0.1)
+    per_sample = psnr(x, y, mean_flag=False)
+    assert per_sample.shape == (2,)
+
+
+def test_mse_score():
+    x = jnp.zeros((2, 4, 4, 1))
+    y = jnp.ones((2, 4, 4, 1))
+    assert float(mse_score(x, y)) == pytest.approx(16.0)
+
+
+def test_ssim_properties():
+    rng = jax.random.key(0)
+    x = jax.random.uniform(rng, (2, 32, 32, 3))
+    assert float(ssim(x, x)) == pytest.approx(1.0, abs=1e-4)
+    noise = x + jax.random.normal(jax.random.key(1), x.shape) * 0.5
+    assert float(ssim(x, jnp.clip(noise, 0, 1))) < 0.8
+    per_sample = ssim(x, x, mean_flag=False)
+    assert per_sample.shape == (2,)
+
+
+def test_ssim_matches_torch_reference_formula():
+    """Cross-validate against an independent torch implementation of the
+    standard Gaussian-window SSIM (the reference's formulation,
+    utils/metrics.py:47-109)."""
+    import math
+
+    import torch
+    import torch.nn.functional as F
+
+    def torch_ssim(a, b):
+        ws, sigma, C = 11, 1.5, a.shape[1]
+        g = torch.tensor([math.exp(-(i - ws // 2) ** 2 / (2 * sigma ** 2))
+                          for i in range(ws)])
+        g = (g / g.sum()).unsqueeze(1)
+        win = (g @ g.t()).expand(C, 1, ws, ws).contiguous()
+        mu1 = F.conv2d(a, win, padding=ws // 2, groups=C)
+        mu2 = F.conv2d(b, win, padding=ws // 2, groups=C)
+        s1 = F.conv2d(a * a, win, padding=ws // 2, groups=C) - mu1 ** 2
+        s2 = F.conv2d(b * b, win, padding=ws // 2, groups=C) - mu2 ** 2
+        s12 = F.conv2d(a * b, win, padding=ws // 2, groups=C) - mu1 * mu2
+        c1, c2 = 0.01 ** 2, 0.03 ** 2
+        m = ((2 * mu1 * mu2 + c1) * (2 * s12 + c2)) / (
+            (mu1 ** 2 + mu2 ** 2 + c1) * (s1 + s2 + c2))
+        return float(m.mean())
+
+    rng = np.random.default_rng(0)
+    a = rng.random((2, 24, 24, 3)).astype(np.float32)
+    b = rng.random((2, 24, 24, 3)).astype(np.float32)
+    ours = float(ssim(jnp.asarray(a), jnp.asarray(b)))
+    theirs = torch_ssim(torch.tensor(a).permute(0, 3, 1, 2),
+                        torch.tensor(b).permute(0, 3, 1, 2))
+    assert ours == pytest.approx(theirs, abs=1e-4)
+
+
+def test_pred_ave_metrics_protocol():
+    # two fake batches; predictor returns gt shifted by a constant
+    batches = [{"past": np.zeros((2, 2, 8, 8, 1), np.float32),
+                "future": np.full((2, 3, 8, 8, 1), 0.5, np.float32)}
+               for _ in range(2)]
+
+    def predict(batch):
+        return batch["future"] + 0.1
+
+    renorm = lambda x: x
+    per_t = pred_ave_metrics(predict, batches, psnr, renorm, 3)
+    assert per_t.shape == (3,)
+    np.testing.assert_allclose(per_t, 20.0, atol=0.01)
+
+
+def test_frechet_distance():
+    rng = np.random.default_rng(0)
+    a = rng.normal(0, 1, (500, 16))
+    b = rng.normal(0, 1, (500, 16))
+    near = frechet_distance(a, b)
+    far = frechet_distance(a, rng.normal(3, 1, (500, 16)))
+    assert near < 1.0
+    assert far > 100.0
+
+
+def test_preprocess_videos():
+    vids = np.random.default_rng(0).random((2, 3, 32, 32, 1))
+    out = preprocess_videos(vids)
+    assert out.shape == (2, 3, 224, 224, 3)
+    assert float(out.min()) >= -1.0 and float(out.max()) <= 1.0
+
+
+@pytest.mark.slow
+def test_i3d_architecture_shapes():
+    fvd = FVD(dtype=jnp.float32).init_random()
+    vids = np.random.default_rng(0).random((2, 16, 64, 64, 1), np.float32)
+    feats = fvd.features(vids, batch_size=2)
+    assert feats.shape == (2, 400)
+    assert np.isfinite(feats).all()
