@@ -82,12 +82,14 @@ class BatchLoader:
                 np.random.SeedSequence([self.seed, self.epoch, int(i)]))
             return self.dataset.__getitem__(int(i), srng)
 
-        if self.num_workers > 1:
+        if hasattr(self.dataset, "get_batch"):
+            clip = np.asarray(self.dataset.get_batch(sample_ids), np.float32)
+        elif self.num_workers > 1:
             with ThreadPoolExecutor(self.num_workers) as pool:
                 clips = list(pool.map(fetch, sample_ids))
+            clip = np.stack(clips).astype(np.float32)  # (N, T, H, W, C)
         else:
-            clips = [fetch(i) for i in sample_ids]
-        clip = np.stack(clips).astype(np.float32)  # (N, T, H, W, C)
+            clip = np.stack([fetch(i) for i in sample_ids]).astype(np.float32)
 
         if self.mode == "pairs":
             return {"past": clip[:, :self.num_past],

@@ -92,6 +92,24 @@ class StochasticMovingMNIST:
     def __len__(self):
         return self._length
 
+    def get_batch(self, indices) -> "np.ndarray":
+        """Batch-level fast path: render all clips in the native C++
+        synthesizer (threaded, GIL-free) when available; falls back to the
+        per-index Python renderer. Deterministic per (index, split) in both
+        backends (each backend has its own RNG stream)."""
+        from npvp_tpu.data import native_bindings as nb
+
+        seeds = np.asarray([int(i) * 2 + int(self._train) for i in indices],
+                           np.uint64)
+        out = nb.synth_moving_sprites_batch(
+            self.sprites, self.seq_len, self.image_size, self.num_digits,
+            self.deterministic, seeds)
+        if out is None:
+            return np.stack([self[int(i)] for i in indices])
+        if self.transform is not None:
+            out = np.stack([self.transform(c, None) for c in out])
+        return out
+
     def __getitem__(self, idx: int,
                     rng: Optional[np.random.Generator] = None) -> np.ndarray:
         # per-index seeding for reproducibility (reference seeds np by index,

@@ -62,6 +62,7 @@ class NPPredictor(nn.Module):
     drop_path: float = 0.1
     ffn_hidden_ratio: int = 4
     dim_feedforward: int = 1024
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -72,7 +73,7 @@ class NPPredictor(nn.Module):
                 self.evt_former_num_layers, self.embed_dim, self.num_heads,
                 self.window_size, self.dropout, self.drop_path,
                 self.ffn_hidden_ratio, self.dim_feedforward, self.norm_type,
-                dtype=self.dtype)
+                use_pallas=self.use_pallas, dtype=self.dtype)
         self.evt_posterior = EventEncoder(
             self.evt_hidden_channels, self.evt_n_layers,
             stochastic=self.stochastic, dtype=self.dtype)
@@ -84,7 +85,7 @@ class NPPredictor(nn.Module):
             self.transformer_layers, self.embed_dim, self.num_heads,
             self.window_size, self.dropout, self.drop_path,
             self.ffn_hidden_ratio, self.dim_feedforward, self.norm_type,
-            dtype=self.dtype)
+            use_pallas=self.use_pallas, dtype=self.dtype)
         # One LayerNorm instance shared between the EVT-Former output and the
         # decoder output — replicates the reference's shared default-arg norm
         # (models/Predictor.py:270: the same nn.LayerNorm(512) object is passed
@@ -206,5 +207,6 @@ def build_predictor(cfg, dtype=jnp.float32) -> NPPredictor:
         drop_path=p.drop_path,
         ffn_hidden_ratio=p.Spatial_FFN_hidden_ratio,
         dim_feedforward=p.dim_feedforward,
+        use_pallas=p.use_pallas_attention,
         dtype=dtype,
     )

@@ -91,15 +91,22 @@ class LayerNormHWC(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        # x: (..., H, W, C)
+        # x: (..., H, W, C). Statistics accumulate in fp32 but the (large)
+        # activation tensor itself is only ever read in its compute dtype —
+        # on TPU this halves the HBM traffic of the norm vs materializing an
+        # fp32 copy.
         shape = x.shape[-3:]
-        x32 = x.astype(jnp.float32)
-        mean = jnp.mean(x32, axis=(-3, -2, -1), keepdims=True)
-        var = jnp.var(x32, axis=(-3, -2, -1), keepdims=True)
-        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        mean = jnp.mean(x, axis=(-3, -2, -1), keepdims=True,
+                        dtype=jnp.float32)
+        mean_sq = jnp.mean(jax.lax.square(x.astype(jnp.float32)),
+                           axis=(-3, -2, -1), keepdims=True)
+        var = jnp.maximum(mean_sq - jax.lax.square(mean), 0.0)
+        inv = jax.lax.rsqrt(var + self.epsilon)
         scale = self.param("scale", nn.initializers.ones, shape, jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, shape, jnp.float32)
-        return (y * scale + bias).astype(self.dtype)
+        a = (inv * scale).astype(x.dtype)
+        b = (bias - mean * inv * scale).astype(x.dtype)
+        return x * a + b
 
 
 class DropPath(nn.Module):

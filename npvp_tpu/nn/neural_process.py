@@ -80,26 +80,23 @@ def pos_feat_fuse(
     Returns normalized * (1 + gamma) + beta, same shape as x.
     """
     N, T, H, W, C = x.shape
-    x32 = x.astype(jnp.float32)
-    if norm_type == "layer":
-        # GroupNorm(1) over each (H, W, C) frame.
-        mean = jnp.mean(x32, axis=(2, 3, 4), keepdims=True)
-        var = jnp.var(x32, axis=(2, 3, 4), keepdims=True)
-    elif norm_type == "instance":
-        mean = jnp.mean(x32, axis=(2, 3), keepdims=True)
-        var = jnp.var(x32, axis=(2, 3), keepdims=True)
-    elif norm_type in ("batch", "syncbatch"):
-        # Affine-free batch norm over (N, T, H, W) per channel; under a
-        # sharded batch this reduction is global (sync-BN for free).
-        mean = jnp.mean(x32, axis=(0, 1, 2, 3), keepdims=True)
-        var = jnp.var(x32, axis=(0, 1, 2, 3), keepdims=True)
-    else:
+    axes = {"layer": (2, 3, 4), "instance": (2, 3),
+            "batch": (0, 1, 2, 3), "syncbatch": (0, 1, 2, 3)}.get(norm_type)
+    if axes is None:
         raise ValueError(f"unknown param-free norm type {norm_type!r}")
-    normalized = (x32 - mean) * jax.lax.rsqrt(var + epsilon)
+    # fp32 statistics over the compute-dtype tensor (single bf16 read; no
+    # fp32 materialization of the activations). For 'batch' the reduction
+    # spans the (sharded) global batch — sync-BN for free under jit.
+    mean = jnp.mean(x, axis=axes, keepdims=True, dtype=jnp.float32)
+    mean_sq = jnp.mean(jax.lax.square(x.astype(jnp.float32)), axis=axes,
+                       keepdims=True)
+    var = jnp.maximum(mean_sq - jax.lax.square(mean), 0.0)
+    inv = jax.lax.rsqrt(var + epsilon).astype(x.dtype)
+    mean = mean.astype(x.dtype)
 
-    gamma = pos_gamma.reshape(T, H, W, C)[None].astype(jnp.float32)
-    beta = pos_beta.reshape(T, H, W, C)[None].astype(jnp.float32)
-    return (normalized * (1.0 + gamma) + beta).astype(x.dtype)
+    gamma = pos_gamma.reshape(T, H, W, C)[None].astype(x.dtype)
+    beta = pos_beta.reshape(T, H, W, C)[None].astype(x.dtype)
+    return (x - mean) * inv * (1.0 + gamma) + beta
 
 
 class EventEncoder(nn.Module):

@@ -23,6 +23,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from npvp_tpu.nn.layers import (DropPath, LayerNormHWC, MultiHeadAttention)
@@ -89,37 +90,103 @@ class SpatialWindowAttention(nn.Module):
         return out.reshape(N, T, H, W, C)
 
 
+class _LNParams(nn.Module):
+    """Parameter holder for an (H, W, C) LayerNorm affine (named scale/bias
+    so checkpoints are interchangeable with LayerNormHWC)."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, self.shape,
+                           jnp.float32),
+                self.param("bias", nn.initializers.zeros, self.shape,
+                           jnp.float32))
+
+
+class _ConvParams(nn.Module):
+    """Parameter holder matching nn.Conv's {kernel, bias} naming."""
+
+    kernel_shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        fan_in = int(np.prod(self.kernel_shape[:-1]))
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                           self.kernel_shape, jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.kernel_shape[-1],), jnp.float32)
+        return kernel, bias
+
+
+def _layer_norm_hwc(x, scale, bias, dtype, eps=1e-5):
+    """Per-sample LayerNorm over trailing (H, W, C) with fp32 statistics but
+    compute-dtype traffic (see LayerNormHWC)."""
+    mean = jnp.mean(x, axis=(-3, -2, -1), keepdims=True, dtype=jnp.float32)
+    mean_sq = jnp.mean(jax.lax.square(x.astype(jnp.float32)),
+                       axis=(-3, -2, -1), keepdims=True)
+    var = jnp.maximum(mean_sq - jax.lax.square(mean), 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    a = (inv * scale).astype(dtype)
+    b = (bias - mean * inv * scale).astype(dtype)
+    return x * a + b
+
+
 class MlpDWBN(nn.Module):
     """Conv feed-forward: 1×1 → depthwise 3×3 → 1×1 with GELU and per-sample
     LayerNorm over (H, W, C) after each stage (reference
-    models/VidHRFormer.py:326-392, AR_model=True path)."""
+    models/VidHRFormer.py:326-392, AR_model=True path).
+
+    Two execution paths over one parameter set: a composable XLA path
+    (training; autodiff) and a fused Pallas kernel (inference on TPU) that
+    keeps the 4×-wide hidden activations in VMEM (npvp_tpu/kernels/mlp_dwbn).
+    """
 
     hidden_features: int
     out_features: int
     dropout: float = 0.0
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic=True):
         N, T, H, W, C = x.shape
+        Hd, Co = self.hidden_features, self.out_features
+        w1, b1 = _ConvParams((1, 1, C, Hd), name="fc1")()
+        ln1s, ln1b = _LNParams((H, W, Hd), name="norm1")()
+        dw, bdw = _ConvParams((3, 3, 1, Hd), name="dw3x3")()
+        ln2s, ln2b = _LNParams((H, W, Hd), name="norm2")()
+        w2, b2 = _ConvParams((1, 1, Hd, Co), name="fc2")()
+        ln3s, ln3b = _LNParams((H, W, Co), name="norm3")()
+
         y = x.reshape(N * T, H, W, C)
-        y = nn.Conv(self.hidden_features, (1, 1), dtype=self.dtype,
-                    param_dtype=jnp.float32, name="fc1")(y)
-        y = LayerNormHWC(dtype=self.dtype, name="norm1")(y)
+        if (self.use_pallas and deterministic
+                and jax.default_backend() == "tpu"):
+            from npvp_tpu.kernels.mlp_dwbn import fused_mlp_dwbn
+
+            out = fused_mlp_dwbn(
+                y.astype(jnp.bfloat16), w1.reshape(C, Hd), b1, ln1s, ln1b,
+                dw.reshape(3, 3, Hd), bdw, ln2s, ln2b, w2.reshape(Hd, Co),
+                b2, ln3s, ln3b)
+            return out.astype(self.dtype).reshape(N, T, H, W, Co)
+
+        conv = lambda inp, k, b, groups: (jax.lax.conv_general_dilated(
+            inp, k.astype(self.dtype),
+            window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups) + b.astype(self.dtype))
+        y = conv(y, w1, b1, 1)
+        y = _layer_norm_hwc(y, ln1s, ln1b, self.dtype)
         y = nn.gelu(y, approximate=False)
-        y = nn.Conv(self.hidden_features, (3, 3), padding="SAME",
-                    feature_group_count=self.hidden_features,
-                    dtype=self.dtype, param_dtype=jnp.float32,
-                    name="dw3x3")(y)
-        y = LayerNormHWC(dtype=self.dtype, name="norm2")(y)
+        y = conv(y, dw, bdw, Hd)
+        y = _layer_norm_hwc(y, ln2s, ln2b, self.dtype)
         y = nn.gelu(y, approximate=False)
         y = nn.Dropout(self.dropout, deterministic=deterministic)(y)
-        y = nn.Conv(self.out_features, (1, 1), dtype=self.dtype,
-                    param_dtype=jnp.float32, name="fc2")(y)
-        y = LayerNormHWC(dtype=self.dtype, name="norm3")(y)
+        y = conv(y, w2, b2, 1)
+        y = _layer_norm_hwc(y, ln3s, ln3b, self.dtype)
         y = nn.gelu(y, approximate=False)
         y = nn.Dropout(self.dropout, deterministic=deterministic)(y)
-        return y.reshape(N, T, H, W, self.out_features)
+        return y.reshape(N, T, H, W, Co)
 
 
 def encoder_temporal_allow(T: int,
@@ -182,6 +249,7 @@ class VidHRFormerBlockEnc(nn.Module):
     ffn_hidden_ratio: int = 4
     dim_feedforward: int = 1024
     norm_type: str = "layer"
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -199,7 +267,8 @@ class VidHRFormerBlockEnc(nn.Module):
         x = x + dp(attn, deterministic)
 
         ffn = MlpDWBN(self.ffn_hidden_ratio * self.embed_dim, self.embed_dim,
-                      self.dropout, dtype=self.dtype, name="spatial_ffn")(
+                      self.dropout, use_pallas=self.use_pallas,
+                      dtype=self.dtype, name="spatial_ffn")(
                           ln("norm2")(x), deterministic)
         x = x + dp(ffn, deterministic)
 
@@ -240,6 +309,7 @@ class VidHRFormerEncoder(nn.Module):
     ffn_hidden_ratio: int = 4
     dim_feedforward: int = 1024
     norm_type: str = "layer"
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -249,7 +319,8 @@ class VidHRFormerEncoder(nn.Module):
             x = VidHRFormerBlockEnc(
                 self.embed_dim, self.num_heads, self.window_size,
                 self.dropout, self.drop_path, self.ffn_hidden_ratio,
-                self.dim_feedforward, self.norm_type, dtype=self.dtype,
+                self.dim_feedforward, self.norm_type,
+                use_pallas=self.use_pallas, dtype=self.dtype,
                 name=f"layer_{i}")(x, pos_beta, pos_gamma, temporal_allow,
                                    deterministic)
         return x
@@ -268,6 +339,7 @@ class VidHRFormerBlockDecNAR(nn.Module):
     ffn_hidden_ratio: int = 4
     dim_feedforward: int = 1024
     norm_type: str = "layer"
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -291,7 +363,8 @@ class VidHRFormerBlockDecNAR(nn.Module):
         tgt2 = tgt + dp(attn, deterministic)
 
         ffn = MlpDWBN(self.ffn_hidden_ratio * self.embed_dim, self.embed_dim,
-                      self.dropout, dtype=self.dtype, name="spatial_ffn")(
+                      self.dropout, use_pallas=self.use_pallas,
+                      dtype=self.dtype, name="spatial_ffn")(
                           ln("norm2")(tgt2), deterministic)
         tgt2 = tgt2 + dp(ffn, deterministic)
 
@@ -325,7 +398,8 @@ class VidHRFormerBlockDecNAR(nn.Module):
         tgt2 = tgt2 + dp(cattn, deterministic)
 
         ffn1 = MlpDWBN(self.ffn_hidden_ratio * self.embed_dim, self.embed_dim,
-                       self.dropout, dtype=self.dtype, name="spatial_ffn1")(
+                       self.dropout, use_pallas=self.use_pallas,
+                       dtype=self.dtype, name="spatial_ffn1")(
                            ln("norm6")(tgt2), deterministic)
         tgt2 = tgt2 + dp(ffn1, deterministic)
         return tgt2
@@ -346,6 +420,7 @@ class VidHRFormerDecoderNAR(nn.Module):
     ffn_hidden_ratio: int = 4
     dim_feedforward: int = 1024
     norm_type: str = "layer"
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -356,7 +431,8 @@ class VidHRFormerDecoderNAR(nn.Module):
             tgt = VidHRFormerBlockDecNAR(
                 self.embed_dim, self.num_heads, self.window_size,
                 self.dropout, self.drop_path, self.ffn_hidden_ratio,
-                self.dim_feedforward, self.norm_type, dtype=self.dtype,
+                self.dim_feedforward, self.norm_type,
+                use_pallas=self.use_pallas, dtype=self.dtype,
                 name=f"layer_{i}")(tgt, query_evt, memory, mem_pos, tgt_pos,
                                    self_allow, cross_allow, deterministic)
         return tgt
