@@ -1,0 +1,1 @@
+from npvp_tpu.eval.metrics import mse_score, pred_ave_metrics, psnr, ssim

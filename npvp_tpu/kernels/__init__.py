@@ -1,0 +1,1 @@
+from npvp_tpu.kernels.mlp_dwbn import fused_mlp_dwbn

@@ -1,0 +1,127 @@
+"""Inference CLI: run the five tasks of a trained unified model.
+
+Script equivalent of the reference's ``Inference.ipynb`` (cells 1-4, 16-24):
+loads the two-stage checkpoints, runs VFP / VPE / VFI / VRC / HVRC on test
+batches, reports per-task wall-clock (the reference's stored timing protocol,
+BASELINE.md) and PSNR/SSIM where ground truth exists, and writes GIF strips.
+
+    python -m npvp_tpu.train.inference --config_path <yaml> \
+        [--tasks VFP VPE VFI VRC HVRC] [--batches N] [--gif_dir DIR]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from npvp_tpu.core.metrics import save_clip_gifs
+from npvp_tpu.data.loader import DataModule
+from npvp_tpu.eval.metrics import psnr, ssim
+from npvp_tpu.models.inference import VideoPredictor
+from npvp_tpu.train.common import build_argparser, load_cli_config
+
+
+def run_tasks(cfg, vp: VideoPredictor, dm: DataModule, tasks, num_batches=2,
+              gif_dir=None, rng=None):
+    d = cfg.Dataset
+    loader = dm.test_loader()
+    batches = []
+    for i, b in enumerate(loader):
+        batches.append(b)
+        if i + 1 >= num_batches:
+            break
+    P = d.test_num_past_frames
+    F = d.test_num_future_frames
+    T = P + F
+    rng = rng if rng is not None else jax.random.key(0)
+    results = {}
+
+    def timed(fn, *args):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        out = np.asarray(out)  # host fetch = true completion fence
+        return out, time.perf_counter() - t0
+
+    for task in tasks:
+        times, scores_psnr, scores_ssim = [], [], []
+        sample_gif = None
+        for bi, batch in enumerate(batches):
+            full = np.concatenate([batch["past"], batch["future"]], axis=1)
+            key = jax.random.fold_in(rng, bi)
+            if task == "VFP":
+                obs, to, tp = full[:, :P], np.arange(P), np.arange(P, T)
+            elif task == "VPE":
+                obs, to, tp = full[:, F:], np.arange(F, T), np.arange(F)
+            elif task == "VFI":
+                k = max(1, P // 2)
+                to = np.concatenate([np.arange(k), np.arange(T - k, T)])
+                tp = np.arange(k, T - k)
+                obs = full[:, to]
+            elif task == "VRC":
+                perm = np.random.default_rng(bi).permutation(T)
+                to, tp = np.sort(perm[:P]), np.sort(perm[P:])
+                obs = full[:, to]
+            elif task == "HVRC":
+                to = np.arange(P, dtype=np.float32)
+                tp = np.arange(P - 1, T - 1) + 0.5  # fractional times
+                obs = full[:, :P]
+            else:
+                raise ValueError(f"unknown task {task}")
+            pred, dt = timed(vp.predict, jnp.asarray(obs), to, tp, key)
+            times.append(dt)
+            if task != "HVRC":  # integer targets → ground truth exists
+                gt = full[:, tp.astype(int)]
+                for t in range(pred.shape[1]):
+                    scores_psnr.append(float(psnr(
+                        jnp.asarray(dm.renorm(pred[:, t])),
+                        jnp.asarray(dm.renorm(gt[:, t])))))
+                    scores_ssim.append(float(ssim(
+                        jnp.asarray(dm.renorm(pred[:, t])),
+                        jnp.asarray(dm.renorm(gt[:, t])))))
+            if sample_gif is None and gif_dir is not None:
+                clips = {"observed": dm.renorm(obs[0]),
+                         "pred": dm.renorm(pred[0])}
+                if task != "HVRC":
+                    clips["gt"] = dm.renorm(full[0, tp.astype(int)])
+                save_clip_gifs(Path(gif_dir) / f"{task}.gif", clips)
+                sample_gif = str(Path(gif_dir) / f"{task}.gif")
+        entry = {"avg_time_s": float(np.mean(times)),
+                 "steady_time_s": float(np.min(times)),
+                 "batch_size": batches[0]["past"].shape[0]}
+        if scores_psnr:
+            entry["PSNR"] = float(np.mean(scores_psnr))
+            entry["SSIM"] = float(np.mean(scores_ssim))
+        if sample_gif:
+            entry["gif"] = sample_gif
+        results[task] = entry
+    return results
+
+
+def main(argv=None):
+    parser = build_argparser("NPVP-TPU inference (5 tasks)")
+    parser.add_argument("--tasks", nargs="*",
+                        default=["VFP", "VPE", "VFI", "VRC", "HVRC"])
+    parser.add_argument("--batches", type=int, default=2)
+    parser.add_argument("--gif_dir", type=str, default=None)
+    parser.add_argument("--random_init", action="store_true",
+                        help="random weights (pipeline smoke / timing only)")
+    args = parser.parse_args(argv)
+    cfg = load_cli_config(args)
+    dm = DataModule(cfg)
+    if args.random_init:
+        vp = VideoPredictor.from_random_init(cfg)
+    else:
+        vp = VideoPredictor.from_checkpoints(
+            cfg, cfg.Predictor.resume_AE_ckpt, cfg.Predictor.ckpt_save_dir)
+    results = run_tasks(cfg, vp, dm, args.tasks, args.batches, args.gif_dir)
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
