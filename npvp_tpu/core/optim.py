@@ -87,5 +87,18 @@ def make_predictor_optimizer(
     )
 
 
+def noam_schedule(model_size: int, factor: float,
+                  warmup_steps: int) -> optax.Schedule:
+    """Attention-is-all-you-need warmup/decay schedule (reference's legacy
+    NoamOpt, models/criterion.py:306-339). Being a pure function of the step,
+    it resumes correctly at any batch size — unlike the reference's stateful
+    wrapper (its resume warning at models/criterion.py:338)."""
+    def schedule(step):
+        s = jnp.maximum(step, 1).astype(jnp.float32)
+        return factor * model_size ** -0.5 * jnp.minimum(
+            s ** -0.5, s * warmup_steps ** -1.5)
+    return schedule
+
+
 def global_norm(tree) -> jnp.ndarray:
     return optax.global_norm(tree)

@@ -203,6 +203,148 @@ def make_steps(cfg: Config, predictor: NPPredictor, ae: FrameAutoEncoder,
     return train_step, eval_step, place, decode, encode
 
 
+def make_gan_steps(cfg: Config, predictor: NPPredictor, ae: FrameAutoEncoder,
+                   ae_vars: dict, mesh, mode: str):
+    """Adversarial stage-2 training (reference training_step_gan,
+    models/Predictor.py:88-122 — deprecated upstream, provided for parity):
+    PatchGAN discriminator on individual frames; D updates on
+    stop-gradient'd predictions, G adds λ_gan·BCE to the NP losses. Both
+    updates are one jitted program."""
+    from npvp_tpu.nn.discriminator import PatchDiscriminator, gan_loss
+
+    p = cfg.Predictor
+    base_train, base_eval, place, decode, encode = make_steps(
+        cfg, predictor, ae, ae_vars, mesh, mode)
+    # shrink the PatchGAN depth for small frames (each stride-2 layer
+    # halves the map; 4x4 convs need >=2px inputs)
+    import math
+
+    max_layers = max(1, int(math.log2(cfg.Dataset.img_size)) - 3)
+    disc = PatchDiscriminator(ndf=p.ndf, n_layers=min(3, max_layers))
+
+    def pred_frames_fn(params, batch_stats, batch, rng, train):
+        rngs = {"latent": jax.random.fold_in(rng, 0),
+                "dropout": jax.random.fold_in(rng, 1),
+                "droppath": jax.random.fold_in(rng, 2)}
+        if mode == "rand_context":
+            clip_feats = encode(batch["clip"])
+            out, mutated = predictor.apply(
+                {"params": params, "batch_stats": batch_stats},
+                clip_feats, *_rand_ctx_coords(cfg), p.max_T,
+                target_feats_gt=clip_feats if p.stochastic else None,
+                obs_mask=batch["obs_mask"], tgt_mask=batch["tgt_mask"],
+                train=train, rngs=rngs, mutable=["batch_stats"])
+            real = batch["clip"]
+        else:
+            oc, tc, _, num_tgt = build_coords(cfg)
+            past_feats = encode(batch["past"])
+            future_feats = encode(batch["future"])
+            out, mutated = predictor.apply(
+                {"params": params, "batch_stats": batch_stats},
+                past_feats, oc, tc, num_tgt,
+                target_feats_gt=future_feats if p.stochastic else None,
+                train=train, rngs=rngs, mutable=["batch_stats"])
+            real = batch["future"]
+        return decode(out.pred_features), real, mutated["batch_stats"]
+
+    def train_step(state_g: TrainState, state_d: TrainState, batch, rng):
+        # --- discriminator update (on frames, time folded into batch)
+        fake, real, _ = pred_frames_fn(state_g.params, state_g.batch_stats,
+                                       batch, rng, True)
+        fake = jax.lax.stop_gradient(fake)
+        flat = lambda x: x.reshape((-1,) + x.shape[2:])
+
+        def d_loss_fn(d_params):
+            logits_fake, md = disc.apply(
+                {"params": d_params, "batch_stats": state_d.batch_stats},
+                flat(fake), train=True, mutable=["batch_stats"])
+            logits_real, md = disc.apply(
+                {"params": d_params, "batch_stats": md["batch_stats"]},
+                flat(real), train=True, mutable=["batch_stats"])
+            loss_fake = gan_loss(logits_fake, False, lam=p.lam_gan)
+            loss_real = gan_loss(logits_real, True, lam=p.lam_gan)
+            return loss_fake + loss_real, (loss_fake, loss_real,
+                                           md["batch_stats"])
+
+        (loss_d, (loss_d_fake, loss_d_real, d_stats)), d_grads = \
+            jax.value_and_grad(d_loss_fn, has_aux=True)(state_d.params)
+        state_d = state_d.apply_gradients(d_grads, d_stats)
+
+        # --- generator update: NP losses + adversarial term (one forward)
+        def g_loss_fn(g_params):
+            rngs = {"latent": jax.random.fold_in(rng, 0),
+                    "dropout": jax.random.fold_in(rng, 1),
+                    "droppath": jax.random.fold_in(rng, 2)}
+            if mode == "rand_context":
+                clip_feats = encode(batch["clip"])
+                out, mutated = predictor.apply(
+                    {"params": g_params, "batch_stats": state_g.batch_stats},
+                    clip_feats, *_rand_ctx_coords(cfg), p.max_T,
+                    target_feats_gt=clip_feats if p.stochastic else None,
+                    obs_mask=batch["obs_mask"], tgt_mask=batch["tgt_mask"],
+                    train=True, rngs=rngs, mutable=["batch_stats"])
+                target_frames, target_feats = batch["clip"], clip_feats
+                tgt_m = batch["tgt_mask"].astype(jnp.float32)
+            else:
+                oc, tc, _, num_tgt = build_coords(cfg)
+                past_feats = encode(batch["past"])
+                target_feats = encode(batch["future"])
+                out, mutated = predictor.apply(
+                    {"params": g_params, "batch_stats": state_g.batch_stats},
+                    past_feats, oc, tc, num_tgt,
+                    target_feats_gt=target_feats if p.stochastic else None,
+                    train=True, rngs=rngs, mutable=["batch_stats"])
+                target_frames, tgt_m = batch["future"], None
+            frames = decode(out.pred_features)
+            img_l1 = l1_loss(frames, target_frames, mask=tgt_m)
+            pf_l1 = l1_loss(out.pred_features, target_feats,
+                            lam=p.lam_PF_L1, mask=tgt_m)
+            kl = (kl_divergence(out.mu_o, out.logvar_o, out.mu_p,
+                                out.logvar_p, p.KL_beta)
+                  if p.stochastic else 0.0)
+            logits = disc.apply(
+                {"params": state_d.params,
+                 "batch_stats": state_d.batch_stats}, flat(frames),
+                train=False)
+            adv = gan_loss(logits, True, lam=p.lam_gan)
+            loss = img_l1 + pf_l1 + kl + adv
+            metrics = {"loss": loss, "Image_L1": img_l1, "PF_L1": pf_l1,
+                       "loss_G_gan": adv, "loss_D": loss_d,
+                       "loss_D_fake": loss_d_fake,
+                       "loss_D_real": loss_d_real}
+            if p.stochastic:
+                metrics["KL_loss"] = kl
+            return loss, (metrics, mutated["batch_stats"])
+
+        (_, (metrics, g_stats)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(state_g.params)
+        state_g = state_g.apply_gradients(g_grads, g_stats)
+        return state_g, state_d, metrics
+
+    def init_discriminator(rng_key):
+        d = cfg.Dataset
+        dummy = jnp.zeros((1, d.img_size, d.img_size, d.img_channels))
+        variables = disc.init(rng_key, dummy)
+        tx = make_predictor_optimizer(
+            p.predictor_lr, p.max_grad_norm, p.use_cosine_scheduler,
+            p.scheduler_eta_min, p.scheduler_T0,
+            clip_predicate=lambda path: False)
+        return TrainState.create(apply_fn=disc.apply,
+                                 params=variables["params"],
+                                 batch_stats=variables.get("batch_stats", {}),
+                                 tx=tx)
+
+    return (jax.jit(train_step, donate_argnums=(0, 1)), base_eval, place,
+            init_discriminator)
+
+
+def _rand_ctx_coords(cfg: Config):
+    p = cfg.Predictor
+    all_coords = full_coordinate_volume(p.max_T, p.max_H,
+                                        p.max_W).reshape(-1, 3)
+    return all_coords, all_coords
+
+
 def train(cfg: Config, max_steps: Optional[int] = None) -> TrainState:
     mesh = setup(cfg)
     dtype = compute_dtype(cfg)
