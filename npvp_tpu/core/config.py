@@ -127,8 +127,10 @@ class PredictorConfig:
     lam_gan: float = 0.001
     ndf: int = 64
 
-    # TPU-native additions
-    use_pallas_attention: bool = True  # fused Pallas kernels on TPU
+    # TPU-native additions. The fused Pallas MlpDWBN kernel is available but
+    # the XLA path with tanh-GELU currently wins on v5e (179 vs 205 ms on the
+    # KTH benchmark) — revisit when the kernel gets attention fusion.
+    use_pallas_attention: bool = False
 
 
 @dataclasses.dataclass

@@ -42,10 +42,17 @@ def _erf(x):
     return sign * (1.0 - poly * jnp.exp(-ax * ax))
 
 
-def _gelu(x):
+def _gelu_erf(x):
     """Exact GELU via the polynomial erf (matches torch nn.GELU default to
-    ~1e-7, far below bf16 resolution)."""
+    ~1e-7); used in fp32/interpret mode."""
     return x * 0.5 * (1.0 + _erf(x * 0.7071067811865476))
+
+
+def _gelu_tanh(x):
+    """tanh-approximated GELU for the bf16 serving path (approx error below
+    bf16 rounding noise; markedly cheaper on the VPU than erf)."""
+    c = 0.7978845608028654  # sqrt(2/pi)
+    return 0.5 * x * (1.0 + jnp.tanh(c * (x + 0.044715 * x * x * x)))
 
 
 def _frame_ln(h, scale, bias, eps, F, HW):
@@ -77,6 +84,7 @@ def _kernel(x_ref, w1_ref, b1_ref, ln1s_ref, ln1b_ref, dw_ref, bdw_ref,
     Hd = w1_ref.shape[-1]
     HW = H * W
     Cout = w2_ref.shape[-1]
+    _gelu = _gelu_erf if mm_dtype == jnp.float32 else _gelu_tanh
 
     x = x_ref[:].reshape(F * HW, C)
     h = jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32)
