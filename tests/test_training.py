@@ -196,3 +196,28 @@ def test_stochastic_train_vs_eval_latent_paths():
                             rngs={"latent": jax.random.key(9)})
     np.testing.assert_allclose(np.asarray(out_eval.pred_features),
                                np.asarray(out_eval3.pred_features))
+
+
+def test_stage2_vfi_mode(tmp_path, small_smmnist):
+    from npvp_tpu.train import stage1_ae, stage2_predictor
+
+    cfg = tiny_config(tmp_path)
+    stage1_ae.train(cfg, max_steps=1)
+    cfg.Predictor.VFI = True
+    cfg.Predictor.context_num_p = 1
+    cfg.Predictor.context_num_f = 1
+    cfg.Predictor.num_interpolate = 2
+    state = stage2_predictor.train(cfg, max_steps=2)
+    assert int(state.step) == 2
+
+
+def test_evaluate_cli(tmp_path, small_smmnist, capsys):
+    import json
+
+    from npvp_tpu.eval import evaluate as ev
+
+    cfg = tiny_config(tmp_path)
+    results = ev.evaluate(cfg, max_batches=1, random_init=True)
+    assert "PSNR" in results and "SSIM" in results and "MSE" in results
+    assert len(results["PSNR_per_t"]) == cfg.Dataset.test_num_future_frames
+    assert np.isfinite(results["PSNR"])
