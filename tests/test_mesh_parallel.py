@@ -77,4 +77,5 @@ def test_dp_gradient_matches_single_device():
     flat1 = jax.tree_util.tree_leaves(g_single)
     flat2 = jax.tree_util.tree_leaves(g_sharded)
     for a, b in zip(flat1, flat2):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=5e-5)
