@@ -81,5 +81,6 @@ def test_dp_gradient_matches_single_device():
     flat2 = jax.tree_util.tree_leaves(g_sharded)
     for a, b in zip(flat1, flat2):
         a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
-        err = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-12)
-        assert err < 5e-3, err
+        # relative-or-absolute: near-zero-gradient leaves compare absolutely
+        tol = 5e-3 * np.linalg.norm(a) + 1e-4 * np.sqrt(a.size)
+        assert np.linalg.norm(a - b) <= tol, (np.linalg.norm(a - b), tol)
