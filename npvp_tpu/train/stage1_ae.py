@@ -99,6 +99,9 @@ def train(cfg: Config, max_steps: int | None = None) -> TrainState:
     if is_main_process():
         print(f"AE parameters: {param_count(state.params) / 1e6:.2f}M")
 
+    train_loader = dm.train_loader()
+    val_loader = dm.val_loader()
+
     ckpt = CheckpointManager(cfg.AE.ckpt_save_dir, max_to_keep=5,
                              monitor="L1_loss_valid", mode="min")
     start_epoch = cfg.AE.start_epoch
@@ -109,9 +112,6 @@ def train(cfg: Config, max_steps: int | None = None) -> TrainState:
 
     logger = MetricsLogger(cfg.AE.tensorboard_save_dir)
     train_step, eval_step, vis_step = make_steps(ae, mesh)
-
-    train_loader = dm.train_loader()
-    val_loader = dm.val_loader()
     cfg.save(f"{cfg.AE.ckpt_save_dir}/config.json")
 
     step = int(state.step)
