@@ -23,8 +23,7 @@ Two execution modes, one compiled program each:
 
 from __future__ import annotations
 
-import dataclasses
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,7 @@ Reference: models/submodules.py:258-477.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

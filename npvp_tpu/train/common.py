@@ -11,7 +11,7 @@ import numpy as np
 
 from npvp_tpu.core.config import Config, load_config
 from npvp_tpu.core.mesh import make_mesh
-from npvp_tpu.core.metrics import MetricsLogger, is_main_process
+from npvp_tpu.core.metrics import is_main_process
 
 
 def build_argparser(description: str) -> argparse.ArgumentParser:

@@ -13,7 +13,6 @@ emitted by jit — the DDP + sync_batchnorm equivalent).
 from __future__ import annotations
 
 import sys
-from functools import partial
 from typing import Tuple
 
 import jax

@@ -405,12 +405,50 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> TrainState:
                 f"{k}={v:.5f}" for k, v in scalars.items()))
         ckpt.save(step, state,
                   metrics={"loss_val": scalars.get("loss_val", 0.0)})
+
+        # GT / prediction GIF triptych (reference VisCallbackPredictor,
+        # utils/train_summary.py:49-80), main process only
+        if (cfg.Env.visual_callback and is_main_process()
+                and epoch % cfg.Predictor.log_per_epochs == 0):
+            try:
+                batch = next(iter(val_loader))
+                _visual_callback(cfg, predictor, state, ae, ae_vars, batch,
+                                 mode, dm, epoch)
+            except Exception as exc:  # visualization must never kill a run
+                print(f"visual callback failed: {exc}")
         if max_steps is not None and step >= max_steps:
             break
 
     ckpt.wait()
     logger.close()
     return state
+
+
+def _visual_callback(cfg, predictor, state, ae, ae_vars, batch, mode, dm,
+                     epoch):
+    p = cfg.Predictor
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    enc = lambda x: ae.apply(ae_vars, jnp.asarray(x), train=False,
+                             method=FrameAutoEncoder.encode)
+    dec = lambda f: ae.apply(ae_vars, f, train=False,
+                             method=FrameAutoEncoder.decode)
+    if mode == "rand_context":
+        coords = full_coordinate_volume(p.max_T, p.max_H,
+                                        p.max_W).reshape(-1, 3)
+        out = predictor.apply(variables, enc(batch["clip"]), coords, coords,
+                              p.max_T, obs_mask=jnp.asarray(batch["obs_mask"]),
+                              tgt_mask=jnp.asarray(batch["tgt_mask"]),
+                              rngs={"latent": jax.random.key(epoch)})
+        gt = batch["clip"][0]
+    else:
+        oc, tc, _, num_tgt = build_coords(cfg)
+        out = predictor.apply(variables, enc(batch["past"]), oc, tc, num_tgt,
+                              rngs={"latent": jax.random.key(epoch)})
+        gt = np.concatenate([batch["past"][0], batch["future"][0]], axis=0)
+    pred = np.asarray(dec(out.pred_features)[0], np.float32)
+    save_clip_gifs(
+        f"{cfg.Predictor.tensorboard_save_dir}/epoch_{epoch}.gif",
+        {"gt": gt, "pred": pred}, renorm=dm.renorm)
 
 
 def main(argv=None):
