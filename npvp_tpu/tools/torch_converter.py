@@ -351,6 +351,80 @@ def convert_i3d(sd: Dict) -> Dict:
     return t.variables()
 
 
+def tf_hub_i3d_name(name: str) -> str:
+    """Map a TF-hub Kinetics-I3D variable name to our module path (reference
+    utils/convert_tf_pretrained.py:9-60 semantics, targeting the Flax tree):
+
+    ``RGB/inception_i3d/Mixed_3b/Branch_1/Conv3d_0a_1x1/conv_3d/w:0`` →
+    ``Mixed_3b/b1a/conv3d/kernel``.
+    """
+    leaf_map = {"w:0": "kernel", "b:0": "bias", "beta:0": "bias",
+                "gamma:0": "scale", "moving_mean:0": "mean",
+                "moving_variance:0": "var"}
+    segs = [s for s in name.split("/") if s not in ("RGB", "inception_i3d")]
+    out = []
+    i = 0
+    while i < len(segs):
+        seg = segs[i]
+        if seg.startswith("Mixed"):
+            out.append(seg)
+        elif seg.startswith("Branch"):
+            branch = int(seg.split("_")[-1])
+            i += 1
+            conv = segs[i]
+            # TF-hub's Mixed_5b branch 2 has swapped 0a/0b suffixes (typo in
+            # the original release; reference handles it the same way)
+            if "Mixed_5b" in name and branch == 2:
+                out.append(f"b{branch}a" if "1x1" in conv else f"b{branch}b")
+            elif "_0a_" in conv or conv.endswith("a_1x1"):
+                out.append("b0" if branch == 0 else f"b{branch}a")
+            else:
+                out.append(f"b{branch}b")
+        elif seg.startswith("Conv3d") or seg.startswith("Conv2d"):
+            out.append(seg)
+        elif seg == "Logits":
+            out.append("logits")
+            i += 1  # skip the inner Conv3d_0c_1x1 segment
+        elif seg == "conv_3d":
+            out.append("conv3d")
+        elif seg == "batch_norm":
+            out.append("bn")
+        elif seg in leaf_map:
+            out.append(leaf_map[seg])
+        else:
+            raise ValueError(f"unrecognized segment {seg!r} in {name!r}")
+        i += 1
+    return "/".join(out)
+
+
+def convert_tf_hub_i3d(tf_vars: Dict[str, np.ndarray]) -> Dict:
+    """TF-hub i3d-kinetics variable dict → InceptionI3d variables (reference
+    utils/convert_tf_pretrained.py). TF conv kernels are already DHWIO —
+    no permute; BN beta → bias with implicit scale = 1 (TF I3D uses
+    center-only batch norm)."""
+    t = _Tree()
+    bn_dims: Dict[str, int] = {}
+    for name, value in tf_vars.items():
+        path = tf_hub_i3d_name(name)
+        parts = path.split("/")
+        leaf = parts[-1]
+        value = np.asarray(value)
+        stats = leaf in ("mean", "var")
+        t.put("/".join(parts[:-1]), {leaf: value.reshape(value.shape[-1:])
+                                     if leaf != "kernel" else value},
+              stats=stats)
+        if parts[-2] == "bn":
+            bn_dims["/".join(parts[:-1])] = value.shape[-1]
+    # TF I3D batch norm is affine-free in scale; our flax BN expects both
+    for bn_path, dim in bn_dims.items():
+        node = t.params
+        for p in bn_path.split("/"):
+            node = node.setdefault(p, {})
+        node.setdefault("scale", np.ones(dim, np.float32))
+        node.setdefault("bias", np.zeros(dim, np.float32))
+    return t.variables()
+
+
 def main(argv=None):
     import argparse
     import pickle

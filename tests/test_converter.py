@@ -212,3 +212,91 @@ def test_full_i3d_conversion_structure(ref):
                      variables["params"])[0]}
     missing = want_paths - got_paths
     assert not missing, f"converter missing params: {sorted(missing)[:10]}"
+
+
+def test_tf_hub_i3d_name_mapping_and_conversion():
+    """TF-hub variable names → our I3D tree; converted tree must cover the
+    full InceptionI3d parameter structure."""
+    from npvp_tpu.tools.torch_converter import (convert_tf_hub_i3d,
+                                                tf_hub_i3d_name)
+
+    assert tf_hub_i3d_name(
+        "RGB/inception_i3d/Mixed_3b/Branch_1/Conv3d_0a_1x1/conv_3d/w:0"
+    ) == "Mixed_3b/b1a/conv3d/kernel"
+    assert tf_hub_i3d_name(
+        "RGB/inception_i3d/Conv3d_1a_7x7/batch_norm/moving_mean:0"
+    ) == "Conv3d_1a_7x7/bn/mean"
+    assert tf_hub_i3d_name(
+        "RGB/inception_i3d/Logits/Conv3d_0c_1x1/conv_3d/b:0"
+    ) == "logits/conv3d/bias"
+    # the Mixed_5b branch-2 typo case
+    assert tf_hub_i3d_name(
+        "RGB/inception_i3d/Mixed_5b/Branch_2/Conv3d_0a_3x3/conv_3d/w:0"
+    ) == "Mixed_5b/b2b/conv3d/kernel"
+
+    # synthesize a full TF-hub-style var dict from our own architecture
+    import jax
+    from npvp_tpu.eval.i3d import InceptionI3d
+
+    model = InceptionI3d()
+    target = model.init(jax.random.key(0), jnp.zeros((1, 9, 32, 32, 3)))
+
+    def to_tf_name(path):
+        # invert the mapping for test purposes
+        parts = path.split("/")
+        out = ["RGB", "inception_i3d"]
+        i = 0
+        branch_suffix = {"b0": ("Branch_0", "Conv3d_0a_1x1"),
+                         "b1a": ("Branch_1", "Conv3d_0a_1x1"),
+                         "b1b": ("Branch_1", "Conv3d_0b_3x3"),
+                         "b2a": ("Branch_2", "Conv3d_0a_1x1"),
+                         "b2b": ("Branch_2", "Conv3d_0b_3x3"),
+                         "b3b": ("Branch_3", "Conv3d_0b_1x1")}
+        while i < len(parts):
+            p = parts[i]
+            if p in branch_suffix:
+                b, c = branch_suffix[p]
+                if parts[0] == "Mixed_5b" and p == "b2a":
+                    c = "Conv3d_0a_1x1"
+                elif parts[0] == "Mixed_5b" and p == "b2b":
+                    c = "Conv3d_0a_3x3"  # upstream typo
+                out += [b, c]
+            elif p == "logits":
+                out += ["Logits", "Conv3d_0c_1x1"]
+            elif p == "conv3d":
+                out.append("conv_3d")
+            elif p == "bn":
+                out.append("batch_norm")
+            elif p == "kernel":
+                out.append("w:0")
+            elif p == "bias":
+                out.append("beta:0" if parts[i - 1] == "bn" else "b:0")
+            elif p == "mean":
+                out.append("moving_mean:0")
+            elif p == "var":
+                out.append("moving_variance:0")
+            else:
+                out.append(p)
+            i += 1
+        return "/".join(out)
+
+    tf_vars = {}
+    for col in ("params", "batch_stats"):
+        flat = jax.tree_util.tree_flatten_with_path(target[col])[0]
+        for path, leaf in flat:
+            path_str = "/".join(str(getattr(k, "key", k)) for k in path)
+            if col == "params" and path_str.endswith("bn/scale"):
+                continue  # TF I3D batch norm has no scale variable
+            tf_vars[to_tf_name(path_str)] = np.asarray(leaf)
+
+    variables = convert_tf_hub_i3d(tf_vars)
+
+    def paths(tree):
+        return {"/".join(str(getattr(k, "key", k)) for k in p)
+                for p, _ in jax.tree_util.tree_flatten_with_path(tree)[0]}
+
+    missing = paths(target["params"]) - paths(variables["params"])
+    assert not missing, sorted(missing)[:8]
+    missing_stats = paths(target["batch_stats"]) - paths(
+        variables["batch_stats"])
+    assert not missing_stats, sorted(missing_stats)[:8]
