@@ -28,11 +28,15 @@ def evaluate(cfg: Config, fvd_i3d_ckpt: str | None = None,
              ) -> dict:
     dm = DataModule(cfg, jax.process_index(), jax.process_count())
     d = cfg.Dataset
+    # quality evaluation runs the fp32 parity path (bit-exact vs the
+    # reference computation — tests/test_converter.py); bf16+tanh-GELU is
+    # the serving path
     if random_init:
-        vp = VideoPredictor.from_random_init(cfg)
+        vp = VideoPredictor.from_random_init(cfg, dtype=jnp.float32)
     else:
         vp = VideoPredictor.from_checkpoints(
-            cfg, cfg.Predictor.resume_AE_ckpt, cfg.Predictor.ckpt_save_dir)
+            cfg, cfg.Predictor.resume_AE_ckpt, cfg.Predictor.ckpt_save_dir,
+            dtype=jnp.float32)
 
     num_past = d.test_num_past_frames
     num_future = d.test_num_future_frames
