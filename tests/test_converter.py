@@ -300,3 +300,60 @@ def test_tf_hub_i3d_name_mapping_and_conversion():
     missing_stats = paths(target["batch_stats"]) - paths(
         variables["batch_stats"])
     assert not missing_stats, sorted(missing_stats)[:8]
+
+
+def test_full_stochastic_predictor_parity(ref):
+    """NPVP-S conversion: with the latent sample pinned to its mean on both
+    sides, the converted stochastic predictor reproduces the reference
+    forward including prior/posterior statistics."""
+    torch.manual_seed(1)
+    To, TP, H, W, C, heads = 2, 2, 8, 8, 16, 2
+    ref_model = ref.predictor.Predictor(
+        H, W, To + TP, torch.linspace(0, H - 1, H),
+        torch.linspace(0, W - 1, W), torch.linspace(0, To - 1, To),
+        torch.linspace(To, To + TP - 1, TP), embed_dim=C, fuse_method="Add",
+        param_free_norm_type="layer", evt_hidden_channels=8, evt_n_layers=1,
+        stochastic=True, transformer_layers=1, num_heads=heads,
+        window_size=4, dropout=0.0, drop_path=0.0, dim_feedforward=32,
+        norm=torch.nn.LayerNorm(C), evt_former=True, learn_evt_token=False,
+        evt_former_num_layers=1, rand_context=False).eval()
+
+    # pin both reparameterizations to the mean (test-only; the reference
+    # samples torch-randn which cannot be reproduced cross-framework)
+    ref_model.evt_prior.reparameterize = lambda mu, logvar: mu
+    ref_model.evt_posterior.reparameterize = lambda mu, logvar: mu
+
+    obs = torch.randn(2, To, C, H, W)
+    tgt = torch.randn(2, TP, C, H, W)
+    with torch.no_grad():
+        out, mu_o, logvar_o, mu_p, logvar_p = ref_model(obs, tgt)
+
+    from npvp_tpu.models.coords import coordinate_grid, spatial_index_lists
+    from npvp_tpu.models.predictor import NPPredictor
+
+    ours = NPPredictor(embed_dim=C, num_heads=heads, window_size=4,
+                       transformer_layers=1, evt_former_num_layers=1,
+                       evt_hidden_channels=8, dim_feedforward=32,
+                       stochastic=True, dropout=0.0, drop_path=0.0)
+    variables = tc.convert_predictor(ref_model.state_dict(), heads,
+                                     evt_former_num_layers=1,
+                                     transformer_layers=1, stochastic=True)
+    hj, wj = spatial_index_lists(H, W)
+    oc = coordinate_grid(jnp.arange(To, dtype=jnp.float32), hj, wj,
+                         To + TP, H, W)
+    tcc = coordinate_grid(jnp.arange(To, To + TP, dtype=jnp.float32), hj, wj,
+                          To + TP, H, W)
+    got = ours.apply(
+        variables, jnp.asarray(t2n(obs).transpose(0, 1, 3, 4, 2)), oc, tcc,
+        TP, target_feats_gt=jnp.asarray(t2n(tgt).transpose(0, 1, 3, 4, 2)),
+        sample_latent=False, rngs={"latent": jax.random.key(0)})
+
+    nhwc = lambda t: t2n(t).transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(got.mu_o), nhwc(mu_o), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(got.logvar_o), nhwc(logvar_o),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(got.mu_p), nhwc(mu_p), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(got.logvar_p), nhwc(logvar_p),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(got.pred_features),
+                               t2n(out).transpose(0, 1, 3, 4, 2), atol=5e-4)
