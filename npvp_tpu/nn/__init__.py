@@ -13,3 +13,8 @@ from npvp_tpu.nn.vidhrformer import (MlpDWBN, SpatialWindowAttention,
                                      VidHRFormerEncoder,
                                      encoder_temporal_allow, window_partition,
                                      window_reverse)
+from npvp_tpu.nn.discriminator import (PatchDiscriminator, gan_loss,
+                                       gradient_penalty)
+from npvp_tpu.nn.position_encoding import (sine_position_encoding_1d,
+                                           sine_position_encoding_2d,
+                                           sine_position_encoding_3d)
