@@ -1,16 +1,26 @@
-"""Headline benchmark: KTH 64×64 unified NPVP-S inference throughput.
+"""Headline benchmark: KTH 64×64 unified NPVP-S throughput on one TPU chip.
 
-Protocol mirrors the reference's stored measurement (Inference.ipynb cells
-22-24; BASELINE.md): batch 64, 10 observed → 10 predicted frames, full
-pipeline (AE encode → NP predictor → AE decode), steady state. The reference's
-steady-state GPU number is ~0.79 s/batch ⇒ ~810 predicted frames/s.
+Default (the driver's protocol) mirrors the reference's stored measurement
+(Inference.ipynb cells 22-24; BASELINE.md): batch 64, 10 observed → 10
+predicted frames, full pipeline (AE encode → NP predictor → AE decode),
+steady state. The reference's steady-state GPU number is ~0.79 s/batch ⇒
+~810 predicted frames/s. Prints ONE JSON line:
+{"metric", "value", "unit", "vs_baseline"}.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``--train`` instead benchmarks the stage-2 unified training step at flagship
+shapes (frozen-AE encode of 20-frame clips → masked predictor fwd/bwd →
+decode → losses → clip → AdamW; batch 8 — reference protocol survey §3.2)
+and prints one JSON line for it (round-1 measured 404 ms/step).
+
+Diagnostics (compiled FLOPs, model FLOP utilization) go to stderr so stdout
+stays machine-readable.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
+import sys
 import time
 
 import jax
@@ -18,16 +28,39 @@ import jax.numpy as jnp
 import numpy as np
 
 REFERENCE_FPS = 64 * 10 / 0.79  # ≈ 810 predicted frames/s (steady state)
+REFERENCE_TRAIN_MS = 404.0      # round-1 measured train step (this repo)
+
+# Serving exec mode for the headline number. Measured on v5e (round 2,
+# tools/perf_probe.py + tools/dot_probe.py): this model's matmuls
+# (K,N ∈ {512, 2048}) are HBM-bandwidth-bound, not MXU-bound — raw int8 dots
+# run at 1.01x bf16, and the dynamic-quant composition ("int8" mode) LOSES
+# end-to-end (221.6 vs 179.5 ms/batch) because quantization adds traffic.
+# The int8 path stays available for compute-bound shapes; the headline runs
+# the fused-kernel bf16 path.
+SERVING_EXEC_MODE = "xla"
 
 
-def main():
+def _cost_diag(compiled, seconds, label):
+    try:
+        cost = compiled.cost_analysis()
+        flops = cost.get("flops", 0.0)
+        if flops:
+            print(f"[{label}] {flops / 1e12:.2f} TFLOP/call, "
+                  f"{flops / seconds / 1e12:.1f} TF/s achieved",
+                  file=sys.stderr)
+    except Exception:
+        pass
+
+
+def bench_inference():
     from __graft_entry__ import _flagship_config
     from npvp_tpu.models.coords import coordinate_grid, spatial_index_lists
     from npvp_tpu.models.inference import VideoPredictor
     from npvp_tpu.nn.resnet_ae import FrameAutoEncoder
 
     cfg = _flagship_config()
-    vp = VideoPredictor.from_random_init(cfg, dtype=jnp.bfloat16)
+    vp = VideoPredictor.from_random_init(cfg, dtype=jnp.bfloat16,
+                                         exec_mode=SERVING_EXEC_MODE)
     p = cfg.Predictor
     h, w = spatial_index_lists(p.max_H, p.max_W)
     oc = coordinate_grid(jnp.arange(10, dtype=jnp.float32), h, w,
@@ -54,7 +87,9 @@ def main():
 
     # warmup/compile (fetch to host — on tunneled backends block_until_ready
     # alone can return before device completion)
-    np.asarray(pipeline(vp.ae_vars, vp.predictor_vars, frames, key))
+    compiled = pipeline.lower(vp.ae_vars, vp.predictor_vars, frames,
+                              key).compile()
+    np.asarray(compiled(vp.ae_vars, vp.predictor_vars, frames, key))
 
     # streaming throughput: dispatch back-to-back, fence with a host fetch of
     # the last output only (programs execute serially on one chip)
@@ -64,11 +99,12 @@ def main():
         n = 20
         t0 = time.perf_counter()
         for i in range(n):
-            out = pipeline(vp.ae_vars, vp.predictor_vars, frames,
+            out = compiled(vp.ae_vars, vp.predictor_vars, frames,
                            jax.random.fold_in(key, r * n + i))
         np.asarray(out[0, 0, 0, 0])
         samples.append((time.perf_counter() - t0) / n)
     sec_per_batch = float(np.min(samples))
+    _cost_diag(compiled, sec_per_batch, "inference")
     fps = batch * 10 / sec_per_batch
     print(json.dumps({
         "metric": "KTH 64x64 unified NPVP-S predicted frames/sec/chip "
@@ -77,6 +113,68 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(fps / REFERENCE_FPS, 2),
     }))
+
+
+def bench_train():
+    from __graft_entry__ import _flagship_config
+    from npvp_tpu.core.mesh import make_mesh, shard_state
+    from npvp_tpu.models.predictor import build_predictor
+    from npvp_tpu.train.stage1_ae import build_ae
+    from npvp_tpu.train.stage2_predictor import (init_predictor_state,
+                                                 make_steps)
+
+    cfg = _flagship_config()
+    batch = cfg.Dataset.batch_size = 8
+    mesh = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+    dtype = jnp.bfloat16
+    ae = build_ae(cfg, dtype)
+    d = cfg.Dataset
+    ae_vars = ae.init(jax.random.key(0),
+                      jnp.zeros((1, 2, d.img_size, d.img_size,
+                                 d.img_channels)))
+    predictor = build_predictor(cfg, dtype)  # training = "xla" mode
+    state = init_predictor_state(cfg, predictor, steps_per_epoch=100)
+    state = shard_state(mesh, state)
+    train_step, _, place, _, _ = make_steps(cfg, predictor, ae, ae_vars,
+                                            mesh, mode="rand_context")
+    T = cfg.Predictor.max_T
+    rng_np = np.random.default_rng(0)
+    batch_data = place({
+        "clip": rng_np.standard_normal(
+            (batch, T, d.img_size, d.img_size, d.img_channels),
+            np.float32),
+        "obs_mask": np.arange(T) < 10,
+        "tgt_mask": np.arange(T) >= 10,
+    })
+    key = jax.random.key(1)
+    state, metrics = train_step(state, batch_data, key)  # compile
+    np.asarray(metrics["loss"])
+
+    n = 10
+    t0 = time.perf_counter()
+    for i in range(n):
+        state, metrics = train_step(state, batch_data,
+                                    jax.random.fold_in(key, i))
+    np.asarray(metrics["loss"])
+    ms = (time.perf_counter() - t0) / n * 1e3
+    print(json.dumps({
+        "metric": "KTH 64x64 unified NPVP-S stage-2 train step "
+                  f"(batch {batch}, one chip)",
+        "value": round(ms, 1),
+        "unit": "ms/step",
+        "vs_baseline": round(REFERENCE_TRAIN_MS / ms, 2),
+    }))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--train", action="store_true",
+                        help="benchmark the stage-2 train step instead")
+    args = parser.parse_args()
+    if args.train:
+        bench_train()
+    else:
+        bench_inference()
 
 
 if __name__ == "__main__":

@@ -34,6 +34,7 @@ class EnvConfig:
     compute_dtype: str = "bfloat16"  # dtype for matmul/conv compute
     param_dtype: str = "float32"
     profile_dir: Optional[str] = None  # jax.profiler trace output
+    debug_nans: bool = False  # survey §5.2: jax_debug_nans sanitizer mode
 
 
 @dataclasses.dataclass
@@ -127,10 +128,13 @@ class PredictorConfig:
     lam_gan: float = 0.001
     ndf: int = 64
 
-    # TPU-native additions. The fused Pallas MlpDWBN kernel is available but
-    # the XLA path with tanh-GELU currently wins on v5e (179 vs 205 ms on the
-    # KTH benchmark) — revisit when the kernel gets attention fusion.
-    use_pallas_attention: bool = False
+    # TPU-native addition: execution mode of the compute path.
+    #   "xla"    — composable XLA ops (training, autodiff; default)
+    #   "int8"   — dynamic-int8 serving matmuls (MXU int8 ~1.75x bf16)
+    #   "pallas" — fused Pallas kernels (serving; falls back to "xla" off-TPU)
+    # Training always uses "xla"; serving entry points pick the fastest
+    # measured mode (bench.py / VideoPredictor).
+    exec_mode: str = "xla"
 
 
 @dataclasses.dataclass
@@ -158,6 +162,8 @@ class Config:
             raise ValueError("embed_dim must be divisible by num_heads")
         if p.fuse_method not in ("Add", "SPADE"):
             raise ValueError(f"unknown fuse_method {p.fuse_method!r}")
+        if p.exec_mode not in ("xla", "int8", "pallas"):
+            raise ValueError(f"unknown exec_mode {p.exec_mode!r}")
         if self.AE.out_layer not in ("Tanh", "Sigmoid"):
             raise ValueError(f"unsupported AE.out_layer {self.AE.out_layer!r}")
         return self

@@ -61,7 +61,7 @@ class NPPredictor(nn.Module):
     drop_path: float = 0.1
     ffn_hidden_ratio: int = 4
     dim_feedforward: int = 1024
-    use_pallas: bool = False
+    exec_mode: str = "xla"
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -72,7 +72,7 @@ class NPPredictor(nn.Module):
                 self.evt_former_num_layers, self.embed_dim, self.num_heads,
                 self.window_size, self.dropout, self.drop_path,
                 self.ffn_hidden_ratio, self.dim_feedforward, self.norm_type,
-                use_pallas=self.use_pallas, dtype=self.dtype)
+                exec_mode=self.exec_mode, dtype=self.dtype)
         self.evt_posterior = EventEncoder(
             self.evt_hidden_channels, self.evt_n_layers,
             stochastic=self.stochastic, dtype=self.dtype)
@@ -84,7 +84,7 @@ class NPPredictor(nn.Module):
             self.transformer_layers, self.embed_dim, self.num_heads,
             self.window_size, self.dropout, self.drop_path,
             self.ffn_hidden_ratio, self.dim_feedforward, self.norm_type,
-            use_pallas=self.use_pallas, dtype=self.dtype)
+            exec_mode=self.exec_mode, dtype=self.dtype)
         # One LayerNorm instance shared between the EVT-Former output and the
         # decoder output — replicates the reference's shared default-arg norm
         # (models/Predictor.py:270: the same nn.LayerNorm(512) object is passed
@@ -188,8 +188,13 @@ class NPPredictor(nn.Module):
             return PredictorOutput(out)
 
 
-def build_predictor(cfg, dtype=jnp.float32) -> NPPredictor:
-    """Construct an NPPredictor from a Config (npvp_tpu.core.config)."""
+def build_predictor(cfg, dtype=jnp.float32,
+                    exec_mode: Optional[str] = None) -> NPPredictor:
+    """Construct an NPPredictor from a Config (npvp_tpu.core.config).
+
+    ``exec_mode`` overrides ``cfg.Predictor.exec_mode``: "xla" (composable,
+    training/autodiff), "int8" (dynamic-int8 serving matmuls) or "pallas"
+    (fused TPU kernels). One parameter set serves every mode."""
     p = cfg.Predictor
     return NPPredictor(
         embed_dim=p.embed_dim,
@@ -206,6 +211,6 @@ def build_predictor(cfg, dtype=jnp.float32) -> NPPredictor:
         drop_path=p.drop_path,
         ffn_hidden_ratio=p.Spatial_FFN_hidden_ratio,
         dim_feedforward=p.dim_feedforward,
-        use_pallas=p.use_pallas_attention,
+        exec_mode=exec_mode if exec_mode is not None else p.exec_mode,
         dtype=dtype,
     )

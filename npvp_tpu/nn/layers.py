@@ -51,22 +51,51 @@ class MultiHeadAttention(nn.Module):
 
     Inputs are (..., L, C); the leading axes are batch. A torch packed
     ``in_proj_weight`` maps onto (wq, wk, wv) by a 3-way split (see
-    tools/torch_converter.py).
+    tools/torch_converter.py). With ``quant=True`` the four projections run
+    dynamically-quantized int8 matmuls on the MXU (npvp_tpu.nn.quant); the
+    attention itself (tiny Lq×Lk logits) stays in the compute dtype.
+
+    TPU note: this model's projection matmuls are HBM-bandwidth-bound
+    (K = N = 512 — measured tools/dot_probe.py), so when the q and k inputs
+    are the *same array* (all self-attentions here) the two projections are
+    fused into one matmul over the concatenated kernels — the activations
+    are read from HBM once instead of twice. Identical math, same parameter
+    tree.
     """
 
     embed_dim: int
     num_heads: int
     dropout: float = 0.0
+    quant: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, q_in, k_in, v_in, mask=None, deterministic=True):
-        head_dim = self.embed_dim // self.num_heads
-        dense = lambda name: nn.DenseGeneral(
-            features=(self.num_heads, head_dim), axis=-1, name=name,
-            dtype=self.dtype, param_dtype=jnp.float32)
-        q = dense("wq")(q_in)
-        k = dense("wk")(k_in)
+        from npvp_tpu.nn.quant import QuantDense, int8_contract
+
+        H, D = self.num_heads, self.embed_dim // self.num_heads
+        dense = lambda name: QuantDense(
+            features=(H, D), axis=-1, name=name, quant=self.quant,
+            dtype=self.dtype)
+        if q_in is k_in:
+            # one fused (C → 2·C) projection; split back into q, k
+            wq, bq = _dense_general_params(self, "wq", (self.embed_dim,),
+                                           (H, D))
+            wk, bk = _dense_general_params(self, "wk", (self.embed_dim,),
+                                           (H, D))
+            w = jnp.concatenate([wq.reshape(self.embed_dim, H * D),
+                                 wk.reshape(self.embed_dim, H * D)], axis=-1)
+            if self.quant:
+                qk = int8_contract(q_in, w, out_dtype=self.dtype)
+            else:
+                qk = q_in.astype(self.dtype) @ w.astype(self.dtype)
+            q = (qk[..., :H * D] + bq.reshape(-1).astype(self.dtype)
+                 ).reshape(q_in.shape[:-1] + (H, D))
+            k = (qk[..., H * D:] + bk.reshape(-1).astype(self.dtype)
+                 ).reshape(q_in.shape[:-1] + (H, D))
+        else:
+            q = dense("wq")(q_in)
+            k = dense("wk")(k_in)
         v = dense("wv")(v_in)
         rng = None
         if self.dropout > 0.0 and not deterministic:
@@ -74,9 +103,30 @@ class MultiHeadAttention(nn.Module):
         out = scaled_dot_product_attention(
             q, k, v, mask=mask, dropout_rate=self.dropout,
             dropout_rng=rng, deterministic=deterministic)
-        return nn.DenseGeneral(
+        return QuantDense(
             features=self.embed_dim, axis=(-2, -1), name="wo",
-            dtype=self.dtype, param_dtype=jnp.float32)(out)
+            quant=self.quant, dtype=self.dtype)(out)
+
+
+def _dense_general_params(mod: nn.Module, name: str, in_dims, out_dims):
+    """Create {kernel, bias} under submodule ``name`` with shapes/init
+    identical to nn.DenseGeneral (and to QuantDense), so fused-projection
+    call sites share the checkpoint layout of unfused ones."""
+    from npvp_tpu.nn.quant import _dense_general_kernel_init
+
+    class _P(nn.Module):
+        @nn.compact
+        def __call__(self):
+            kernel = self.param(
+                "kernel",
+                _dense_general_kernel_init(nn.initializers.lecun_normal(),
+                                           tuple(in_dims), tuple(out_dims)),
+                tuple(in_dims) + tuple(out_dims), jnp.float32)
+            bias = self.param("bias", nn.initializers.zeros,
+                              tuple(out_dims), jnp.float32)
+            return kernel, bias
+
+    return _P(name=name)()
 
 
 class LayerNormHWC(nn.Module):

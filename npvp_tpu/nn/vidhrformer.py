@@ -28,6 +28,7 @@ from flax import linen as nn
 
 from npvp_tpu.nn.layers import (DropPath, LayerNormHWC, MultiHeadAttention)
 from npvp_tpu.nn.neural_process import pos_feat_fuse
+from npvp_tpu.nn.quant import QuantDense
 
 
 # ---------------------------------------------------------------------------
@@ -75,6 +76,7 @@ class SpatialWindowAttention(nn.Module):
     num_heads: int
     window_size: int = 4
     dropout: float = 0.0
+    exec_mode: str = "xla"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -84,6 +86,7 @@ class SpatialWindowAttention(nn.Module):
         vw = window_partition(value.reshape(N * T, H, W, C), self.window_size)
         out = MultiHeadAttention(
             self.embed_dim, self.num_heads, dropout=self.dropout,
+            quant=(self.exec_mode == "int8"),
             dtype=self.dtype, name="attn")(
                 xw, xw, vw, deterministic=deterministic)
         out = window_reverse(out, self.window_size, N * T, H, W)
@@ -145,15 +148,17 @@ class MlpDWBN(nn.Module):
     LayerNorm over (H, W, C) after each stage (reference
     models/VidHRFormer.py:326-392, AR_model=True path).
 
-    Two execution paths over one parameter set: a composable XLA path
-    (training; autodiff) and a fused Pallas kernel (inference on TPU) that
-    keeps the 4×-wide hidden activations in VMEM (npvp_tpu/kernels/mlp_dwbn).
+    Execution paths over one parameter set: a composable XLA path
+    ("xla" — training; autodiff), a dynamic-int8 path ("int8" — serving; the
+    1×1 convs are per-token-quantized MXU matmuls, the cheap depthwise conv
+    stays in the compute dtype) and a fused Pallas kernel ("pallas" —
+    keeps the 4×-wide hidden activations in VMEM, npvp_tpu/kernels/mlp_dwbn).
     """
 
     hidden_features: int
     out_features: int
     dropout: float = 0.0
-    use_pallas: bool = False
+    exec_mode: str = "xla"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -169,7 +174,7 @@ class MlpDWBN(nn.Module):
 
         act = _gelu_for(self.dtype)
         y = x.reshape(N * T, H, W, C)
-        if (self.use_pallas and deterministic
+        if (self.exec_mode == "pallas" and deterministic
                 and jax.default_backend() == "tpu"):
             from npvp_tpu.kernels.mlp_dwbn import fused_mlp_dwbn
 
@@ -179,19 +184,29 @@ class MlpDWBN(nn.Module):
                 b2, ln3s, ln3b)
             return out.astype(self.dtype).reshape(N, T, H, W, Co)
 
-        conv = lambda inp, k, b, groups: (jax.lax.conv_general_dilated(
-            inp, k.astype(self.dtype),
-            window_strides=(1, 1), padding="SAME",
+        if self.exec_mode == "int8":
+            from npvp_tpu.nn.quant import int8_contract
+
+            pointwise = lambda inp, k, b: (
+                int8_contract(inp, k.reshape(k.shape[-2:]),
+                              out_dtype=self.dtype) + b.astype(self.dtype))
+        else:
+            pointwise = lambda inp, k, b: (jax.lax.conv_general_dilated(
+                inp, k.astype(self.dtype), window_strides=(1, 1),
+                padding="SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                + b.astype(self.dtype))
+        dwconv = lambda inp, k, b: (jax.lax.conv_general_dilated(
+            inp, k.astype(self.dtype), window_strides=(1, 1), padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=groups) + b.astype(self.dtype))
-        y = conv(y, w1, b1, 1)
+            feature_group_count=Hd) + b.astype(self.dtype))
+        y = pointwise(y, w1, b1)
         y = _layer_norm_hwc(y, ln1s, ln1b, self.dtype)
         y = act(y)
-        y = conv(y, dw, bdw, Hd)
+        y = dwconv(y, dw, bdw)
         y = _layer_norm_hwc(y, ln2s, ln2b, self.dtype)
         y = act(y)
         y = nn.Dropout(self.dropout, deterministic=deterministic)(y)
-        y = conv(y, w2, b2, 1)
+        y = pointwise(y, w2, b2)
         y = _layer_norm_hwc(y, ln3s, ln3b, self.dtype)
         y = act(y)
         y = nn.Dropout(self.dropout, deterministic=deterministic)(y)
@@ -229,6 +244,7 @@ class TemporalAttention(nn.Module):
     embed_dim: int
     num_heads: int
     dropout: float = 0.0
+    exec_mode: str = "xla"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -238,10 +254,14 @@ class TemporalAttention(nn.Module):
         mask = None
         if allow is not None:
             mask = allow[None, None, None, None, :, :]  # (..., heads, Tq, Tk)
+        tq = to_bt(q_in)
+        # preserve object identity so self-attention hits the fused-QK path
+        tk = tq if k_in is q_in else to_bt(k_in)
         out = MultiHeadAttention(
             self.embed_dim, self.num_heads, dropout=self.dropout,
+            quant=(self.exec_mode == "int8"),
             dtype=self.dtype, name="attn")(
-                to_bt(q_in), to_bt(k_in), to_bt(v_in), mask=mask,
+                tq, tk, to_bt(v_in), mask=mask,
                 deterministic=deterministic)
         return out.transpose(0, 3, 1, 2, 4)
 
@@ -258,7 +278,7 @@ class VidHRFormerBlockEnc(nn.Module):
     ffn_hidden_ratio: int = 4
     dim_feedforward: int = 1024
     norm_type: str = "layer"
-    use_pallas: bool = False
+    exec_mode: str = "xla"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -272,11 +292,11 @@ class VidHRFormerBlockEnc(nn.Module):
         fused = pos_feat_fuse(x1, pos_beta, pos_gamma, self.norm_type)
         attn = SpatialWindowAttention(
             self.embed_dim, self.num_heads, self.window_size, self.dropout,
-            dtype=self.dtype, name="slmhsa")(fused, x1, deterministic)
+            exec_mode=self.exec_mode, dtype=self.dtype, name="slmhsa")(fused, x1, deterministic)
         x = x + dp(attn, deterministic)
 
         ffn = MlpDWBN(self.ffn_hidden_ratio * self.embed_dim, self.embed_dim,
-                      self.dropout, use_pallas=self.use_pallas,
+                      self.dropout, exec_mode=self.exec_mode,
                       dtype=self.dtype, name="spatial_ffn")(
                           ln("norm2")(x), deterministic)
         x = x + dp(ffn, deterministic)
@@ -286,18 +306,20 @@ class VidHRFormerBlockEnc(nn.Module):
         if temporal_allow is None:
             temporal_allow = encoder_temporal_allow(x.shape[1])
         tattn = TemporalAttention(
-            self.embed_dim, self.num_heads, self.dropout, dtype=self.dtype,
+            self.embed_dim, self.num_heads, self.dropout,
+            exec_mode=self.exec_mode, dtype=self.dtype,
             name="temporal_mhsa")(temp, temp, x1, temporal_allow,
                                   deterministic)
         x = x + nn.Dropout(self.dropout, deterministic=deterministic)(tattn)
 
         x1 = ln("norm4")(x)
-        x1 = nn.Dense(self.dim_feedforward, dtype=self.dtype,
-                      param_dtype=jnp.float32, name="linear1")(x1)
+        quant = self.exec_mode == "int8"
+        x1 = QuantDense(self.dim_feedforward, quant=quant, dtype=self.dtype,
+                        name="linear1")(x1)
         x1 = nn.Dropout(self.dropout, deterministic=deterministic)(
             _gelu_for(self.dtype)(x1))
-        x1 = nn.Dense(self.embed_dim, dtype=self.dtype,
-                      param_dtype=jnp.float32, name="linear2")(x1)
+        x1 = QuantDense(self.embed_dim, quant=quant, dtype=self.dtype,
+                        name="linear2")(x1)
         x = x + nn.Dropout(self.dropout, deterministic=deterministic)(x1)
         return x
 
@@ -318,7 +340,7 @@ class VidHRFormerEncoder(nn.Module):
     ffn_hidden_ratio: int = 4
     dim_feedforward: int = 1024
     norm_type: str = "layer"
-    use_pallas: bool = False
+    exec_mode: str = "xla"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -329,7 +351,7 @@ class VidHRFormerEncoder(nn.Module):
                 self.embed_dim, self.num_heads, self.window_size,
                 self.dropout, self.drop_path, self.ffn_hidden_ratio,
                 self.dim_feedforward, self.norm_type,
-                use_pallas=self.use_pallas, dtype=self.dtype,
+                exec_mode=self.exec_mode, dtype=self.dtype,
                 name=f"layer_{i}")(x, pos_beta, pos_gamma, temporal_allow,
                                    deterministic)
         return x
@@ -348,7 +370,7 @@ class VidHRFormerBlockDecNAR(nn.Module):
     ffn_hidden_ratio: int = 4
     dim_feedforward: int = 1024
     norm_type: str = "layer"
-    use_pallas: bool = False
+    exec_mode: str = "xla"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -368,11 +390,11 @@ class VidHRFormerBlockDecNAR(nn.Module):
                               self.norm_type)
         attn = SpatialWindowAttention(
             self.embed_dim, self.num_heads, self.window_size, self.dropout,
-            dtype=self.dtype, name="slmhsa")(fused, tgt2, deterministic)
+            exec_mode=self.exec_mode, dtype=self.dtype, name="slmhsa")(fused, tgt2, deterministic)
         tgt2 = tgt + dp(attn, deterministic)
 
         ffn = MlpDWBN(self.ffn_hidden_ratio * self.embed_dim, self.embed_dim,
-                      self.dropout, use_pallas=self.use_pallas,
+                      self.dropout, exec_mode=self.exec_mode,
                       dtype=self.dtype, name="spatial_ffn")(
                           ln("norm2")(tgt2), deterministic)
         tgt2 = tgt2 + dp(ffn, deterministic)
@@ -381,17 +403,19 @@ class VidHRFormerBlockDecNAR(nn.Module):
         t_in = ln("norm3")(tgt2)
         temp = pos_feat_fuse(t_in, tgt_beta, tgt_gamma, self.norm_type)
         tattn = TemporalAttention(
-            self.embed_dim, self.num_heads, self.dropout, dtype=self.dtype,
+            self.embed_dim, self.num_heads, self.dropout,
+            exec_mode=self.exec_mode, dtype=self.dtype,
             name="temporal_mhsa")(temp, temp, t_in, self_allow, deterministic)
         tgt2 = tgt2 + drop(tattn)
 
         # linear FFN
         y = ln("norm4")(tgt2)
-        y = nn.Dense(self.dim_feedforward, dtype=self.dtype,
-                     param_dtype=jnp.float32, name="linear1")(y)
+        quant = self.exec_mode == "int8"
+        y = QuantDense(self.dim_feedforward, quant=quant, dtype=self.dtype,
+                       name="linear1")(y)
         y = drop(_gelu_for(self.dtype)(y))
-        y = nn.Dense(self.embed_dim, dtype=self.dtype,
-                     param_dtype=jnp.float32, name="linear2")(y)
+        y = QuantDense(self.embed_dim, quant=quant, dtype=self.dtype,
+                       name="linear2")(y)
         tgt2 = tgt2 + drop(y)
 
         # encoder-decoder cross-attention over observed memory (per (h, w)
@@ -401,13 +425,14 @@ class VidHRFormerBlockDecNAR(nn.Module):
                               self.norm_type)
         key = pos_feat_fuse(memory, mem_beta, mem_gamma, self.norm_type)
         cattn = TemporalAttention(
-            self.embed_dim, self.num_heads, self.dropout, dtype=self.dtype,
+            self.embed_dim, self.num_heads, self.dropout,
+            exec_mode=self.exec_mode, dtype=self.dtype,
             name="enc_dec_attn")(query, key, memory, cross_allow,
                                  deterministic)
         tgt2 = tgt2 + dp(cattn, deterministic)
 
         ffn1 = MlpDWBN(self.ffn_hidden_ratio * self.embed_dim, self.embed_dim,
-                       self.dropout, use_pallas=self.use_pallas,
+                       self.dropout, exec_mode=self.exec_mode,
                        dtype=self.dtype, name="spatial_ffn1")(
                            ln("norm6")(tgt2), deterministic)
         tgt2 = tgt2 + dp(ffn1, deterministic)
@@ -429,7 +454,7 @@ class VidHRFormerDecoderNAR(nn.Module):
     ffn_hidden_ratio: int = 4
     dim_feedforward: int = 1024
     norm_type: str = "layer"
-    use_pallas: bool = False
+    exec_mode: str = "xla"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -441,7 +466,7 @@ class VidHRFormerDecoderNAR(nn.Module):
                 self.embed_dim, self.num_heads, self.window_size,
                 self.dropout, self.drop_path, self.ffn_hidden_ratio,
                 self.dim_feedforward, self.norm_type,
-                use_pallas=self.use_pallas, dtype=self.dtype,
+                exec_mode=self.exec_mode, dtype=self.dtype,
                 name=f"layer_{i}")(tgt, query_evt, memory, mem_pos, tgt_pos,
                                    self_allow, cross_allow, deterministic)
         return tgt
