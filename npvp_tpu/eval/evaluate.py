@@ -1,9 +1,25 @@
 """Evaluation CLI: per-timestep PSNR/SSIM/MSE (+FVD) on a test set.
 
 The offline evaluation entry point the reference keeps in a notebook
-(reference Inference.ipynb + utils/metrics.py:111-140): loads the two-stage
-checkpoints, runs the configured task over the test loader, and reports the
-per-future-timestep metric protocol.
+(reference Inference.ipynb cells 1-4 + utils/metrics.py:111-140): loads the
+two-stage checkpoints, runs the chosen task over the test loader, and reports
+the per-future-timestep metric protocol.
+
+Tasks (coordinate choices only — reference Inference.ipynb cell 4):
+
+- **VFP** (default): observe the test past frames, predict the full test
+  future horizon. Horizons beyond ``max_T`` (e.g. the KTH 10→20 protocol,
+  BASELINE.md) run the sliding-window decomposition — the reference asserts
+  t ≤ max_T (models/submodules.py:349-351), so re-based windows are the only
+  in-range realization of the protocol.
+- **VPE / VFI / VRC / HVRC**: evaluated on the leading ``max_T``-frame
+  segment of each test clip, mirroring the notebook's constructions (which
+  never query beyond max_T). HVRC's fractional-time targets have no ground
+  truth; its metrics cover the integer targets only.
+
+Stochastic models (NPVP-S) support the standard best-of-N protocol
+(``--num_samples N``): N latent draws per sequence, the best per-sequence
+sample selected independently per metric, as in SVG/SAVP-style evaluation.
 """
 
 from __future__ import annotations
@@ -18,19 +34,59 @@ import numpy as np
 
 from npvp_tpu.core.config import Config
 from npvp_tpu.data.loader import DataModule
-from npvp_tpu.eval.metrics import mse_score, pred_ave_metrics, psnr, ssim
+from npvp_tpu.eval.metrics import mse_score, psnr, ssim
 from npvp_tpu.models.inference import VideoPredictor
 from npvp_tpu.train.common import build_argparser, load_cli_config
 
+TASKS = ("VFP", "VPE", "VFI", "VRC", "HVRC")
+
+
+def _task_split(task: str, cfg: Config, seed: int = 0):
+    """(to_list, tp_list, metric_tp_indices) for the non-VFP tasks on the
+    leading max_T-frame segment. ``metric_tp_indices`` selects the targets
+    that have ground truth (integer times)."""
+    p, d = cfg.Predictor, cfg.Dataset
+    S = p.max_T
+    P = min(d.test_num_past_frames, S - 1)
+    if task == "VPE":
+        to = np.arange(S - P, S, dtype=np.float32)
+        tp = np.arange(S - P, dtype=np.float32)
+    elif task == "VFI":
+        cp, cf = (P + 1) // 2, P // 2
+        to = np.concatenate([np.arange(cp), np.arange(S - cf, S)]
+                            ).astype(np.float32)
+        tp = np.arange(cp, S - cf, dtype=np.float32)
+    elif task == "VRC":
+        perm = np.random.default_rng(seed).permutation(S)
+        to = np.sort(perm[:P]).astype(np.float32)
+        tp = np.sort(perm[P:]).astype(np.float32)
+    elif task == "HVRC":
+        perm = np.random.default_rng(seed).permutation(S)
+        to = np.sort(perm[:P]).astype(np.float32)
+        ints = np.sort(perm[P:]).astype(np.float32)
+        halves = (ints[:-1] + 0.5)[ints[:-1] + 0.5 <= S]
+        tp = np.sort(np.concatenate([ints, halves.astype(np.float32)]))
+    else:
+        raise ValueError(f"unknown task {task!r}")
+    metric_idx = np.where(tp == np.round(tp))[0]
+    return to, tp, metric_idx
+
+
+def _per_seq_metric(metric, pred_t, gt_t):
+    if metric is psnr or metric is ssim:
+        return np.asarray(metric(pred_t, gt_t, mean_flag=False))
+    return np.asarray(mse_score(pred_t, gt_t, mean_flag=False))
+
 
 def evaluate(cfg: Config, fvd_i3d_ckpt: str | None = None,
-             max_batches: int | None = None, random_init: bool = False
-             ) -> dict:
+             max_batches: int | None = None, random_init: bool = False,
+             task: str = "VFP", num_samples: int = 1) -> dict:
+    assert task in TASKS, task
     dm = DataModule(cfg, jax.process_index(), jax.process_count())
-    d = cfg.Dataset
+    d, p = cfg.Dataset, cfg.Predictor
     # quality evaluation runs the fp32 parity path (bit-exact vs the
-    # reference computation — tests/test_converter.py); bf16+tanh-GELU is
-    # the serving path
+    # reference computation — tests/test_converter.py); bf16+tanh-GELU and
+    # int8 are the serving paths
     if random_init:
         vp = VideoPredictor.from_random_init(cfg, dtype=jnp.float32)
     else:
@@ -38,19 +94,70 @@ def evaluate(cfg: Config, fvd_i3d_ckpt: str | None = None,
             cfg, cfg.Predictor.resume_AE_ckpt, cfg.Predictor.ckpt_save_dir,
             dtype=jnp.float32)
 
-    num_past = d.test_num_past_frames
-    num_future = d.test_num_future_frames
+    if not p.stochastic:
+        num_samples = 1
 
-    def predict(batch):
-        return vp.vfp(jnp.asarray(batch["past"]), num_future)
+    if task == "VFP":
+        num_future = d.test_num_future_frames
+        metric_idx = np.arange(num_future)
+
+        def predict_and_gt(batch, rng):
+            pred = vp.vfp(jnp.asarray(batch["past"]), num_future, rng)
+            return pred, np.asarray(batch["future"], np.float32)
+    else:
+        to, tp, metric_idx = _task_split(task, cfg, seed=cfg.Env.rand_seed)
+
+        def predict_and_gt(batch, rng):
+            clip = np.concatenate([batch["past"], batch["future"]],
+                                  axis=1)[:, :p.max_T]
+            pred = vp.predict(jnp.asarray(clip[:, to.astype(int)]), to, tp,
+                              rng)
+            gt = clip[:, tp[metric_idx].astype(int)].astype(np.float32)
+            return pred, gt
 
     loader = list(dm.test_loader())
     if max_batches is not None:
         loader = loader[:max_batches]
 
-    results = {}
-    for name, fn in (("PSNR", psnr), ("SSIM", ssim), ("MSE", mse_score)):
-        per_t = pred_ave_metrics(predict, loader, fn, dm.renorm, num_future)
+    T_m = len(metric_idx)
+    metric_fns = {"PSNR": psnr, "SSIM": ssim, "MSE": mse_score}
+    higher_better = {"PSNR": True, "SSIM": True, "MSE": False}
+    totals = {k: np.zeros(T_m) for k in metric_fns}
+    count = 0
+    first_sample_preds = []  # for FVD (one draw per sequence)
+    gts = []
+    base_rng = jax.random.key(cfg.Env.rand_seed)
+    for bi, batch in enumerate(loader):
+        # scores[s][name]: (N, T_m) per-sequence per-timestep values
+        scores = []
+        for s in range(num_samples):
+            rng = jax.random.fold_in(jax.random.fold_in(base_rng, bi), s)
+            pred, gt = predict_and_gt(batch, rng)
+            pred = np.asarray(pred, np.float32)[:, metric_idx]
+            if s == 0:
+                first_sample_preds.append(pred)
+                gts.append(gt)
+            per = {}
+            for name, fn in metric_fns.items():
+                vals = np.stack([
+                    _per_seq_metric(fn, jnp.asarray(dm.renorm(pred[:, t])),
+                                    jnp.asarray(dm.renorm(gt[:, t])))
+                    for t in range(T_m)], axis=1)
+                per[name] = vals
+            scores.append(per)
+        n = scores[0]["PSNR"].shape[0]
+        for name in metric_fns:
+            stacked = np.stack([s[name] for s in scores])  # (S, N, T)
+            seq_mean = stacked.mean(axis=2)                # (S, N)
+            best = (np.argmax(seq_mean, axis=0) if higher_better[name]
+                    else np.argmin(seq_mean, axis=0))      # (N,)
+            chosen = stacked[best, np.arange(n)]           # (N, T)
+            totals[name] += chosen.sum(axis=0)
+        count += n
+
+    results = {"task": task, "num_samples": num_samples}
+    for name in metric_fns:
+        per_t = totals[name] / max(count, 1)
         results[f"{name}_per_t"] = per_t.tolist()
         results[name] = float(per_t.mean())
 
@@ -58,23 +165,25 @@ def evaluate(cfg: Config, fvd_i3d_ckpt: str | None = None,
         from npvp_tpu.eval.fvd import FVD
 
         fvd = FVD.from_checkpoint(fvd_i3d_ckpt)
-        fakes, reals = [], []
-        for batch in loader:
-            fakes.append(dm.renorm(np.asarray(predict(batch))))
-            reals.append(dm.renorm(np.asarray(batch["future"])))
-        results["FVD"] = fvd(np.concatenate(fakes), np.concatenate(reals))
+        fakes = np.concatenate([dm.renorm(f) for f in first_sample_preds])
+        reals = np.concatenate([dm.renorm(g) for g in gts])
+        results["FVD"] = fvd(fakes, reals)
     return results
 
 
 def main(argv=None):
     parser = build_argparser("NPVP-TPU evaluation")
+    parser.add_argument("--task", type=str, default="VFP", choices=TASKS)
+    parser.add_argument("--num_samples", type=int, default=1,
+                        help="best-of-N latent draws (NPVP-S only)")
     parser.add_argument("--i3d_ckpt", type=str, default=None,
                         help="converted I3D weights (.pkl) for FVD")
     parser.add_argument("--max_batches", type=int, default=None)
     parser.add_argument("--out", type=str, default=None)
     args = parser.parse_args(argv)
     cfg = load_cli_config(args)
-    results = evaluate(cfg, args.i3d_ckpt, args.max_batches)
+    results = evaluate(cfg, args.i3d_ckpt, args.max_batches, task=args.task,
+                       num_samples=args.num_samples)
     text = json.dumps(results, indent=2)
     print(text)
     if args.out:

@@ -11,7 +11,26 @@ models/Predictor.py:352-359 ``reset_pos_coor``).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def _check_bounds(name: str, values, max_value: float) -> None:
+    """Reject coordinates outside [0, max] — the reference asserts the same
+    bounds (models/submodules.py:349-351); out-of-range times fall outside
+    the trained Fourier-feature range and silently degrade quality. Traced
+    (abstract) values are skipped — in-program coordinates are produced by
+    bounds-checked callers."""
+    if isinstance(values, jax.core.Tracer):
+        return
+    vals = np.asarray(values)
+    if vals.size and (vals.min() < 0.0 or vals.max() > max_value):
+        raise ValueError(
+            f"{name} coordinates must lie in [0, {max_value}]; got "
+            f"[{vals.min()}, {vals.max()}]. Times beyond max_T must be "
+            "evaluated with the sliding-window protocol "
+            "(VideoPredictor.vfp handles this automatically).")
 
 
 def coordinate_grid(
@@ -33,6 +52,9 @@ def coordinate_grid(
     Returns:
       (T*H*W, 3) array; last dim ordered (t, h, w), all in [0, 1].
     """
+    _check_bounds("t", t_list, max_T)
+    _check_bounds("h", h_list, max_H)
+    _check_bounds("w", w_list, max_W)
     t = jnp.asarray(t_list, jnp.float32) / max_T
     h = jnp.asarray(h_list, jnp.float32) / max_H
     w = jnp.asarray(w_list, jnp.float32) / max_W

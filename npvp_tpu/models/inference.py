@@ -49,7 +49,8 @@ class VideoPredictor:
     @classmethod
     def from_checkpoints(cls, cfg: Config, ae_ckpt_dir: str,
                          predictor_ckpt_dir: str,
-                         dtype=jnp.bfloat16) -> "VideoPredictor":
+                         dtype=jnp.bfloat16,
+                         exec_mode: Optional[str] = None) -> "VideoPredictor":
         from npvp_tpu.train.stage1_ae import build_ae, init_state
         from npvp_tpu.train.stage2_predictor import init_predictor_state
         from npvp_tpu.core.checkpoint import CheckpointManager
@@ -60,7 +61,7 @@ class VideoPredictor:
         ae_state = CheckpointManager(ae_ckpt_dir).restore(
             init_state(cfg, ae, (1, clip_len, d.img_size, d.img_size,
                                  d.img_channels)))
-        predictor = build_predictor(cfg, dtype)
+        predictor = build_predictor(cfg, dtype, exec_mode=exec_mode)
         pred_state = CheckpointManager(predictor_ckpt_dir).restore(
             init_predictor_state(cfg, predictor, 1))
         return cls(cfg, ae,
@@ -71,8 +72,8 @@ class VideoPredictor:
                     "batch_stats": pred_state.batch_stats})
 
     @classmethod
-    def from_random_init(cls, cfg: Config, dtype=jnp.bfloat16, seed: int = 0
-                         ) -> "VideoPredictor":
+    def from_random_init(cls, cfg: Config, dtype=jnp.bfloat16, seed: int = 0,
+                         exec_mode: Optional[str] = None) -> "VideoPredictor":
         """Random weights — for benchmarking/compile checks."""
         from npvp_tpu.train.stage1_ae import build_ae
 
@@ -81,7 +82,7 @@ class VideoPredictor:
         ae_vars = ae.init(jax.random.key(seed),
                           jnp.zeros((1, 2, d.img_size, d.img_size,
                                      d.img_channels)))
-        predictor = build_predictor(cfg, dtype)
+        predictor = build_predictor(cfg, dtype, exec_mode=exec_mode)
         feats = jnp.zeros((1, 2, p.max_H, p.max_W, p.embed_dim))
         oc = jnp.zeros((2 * p.max_H * p.max_W, 3))
         pred_vars = predictor.init(
@@ -131,9 +132,49 @@ class VideoPredictor:
 
     # -- the five tasks ------------------------------------------------------
     def vfp(self, past_frames, num_future: int, rng=None):
+        """Future prediction; transparently extends beyond the trained time
+        range with the sliding-window protocol (see :meth:`vfp_windowed`).
+
+        The KTH test protocol (BASELINE.md: 10 observed → 20 predicted with
+        max_T=20) queries target times 20..29, which exceed the trained
+        coordinate range — the reference *asserts* t ≤ max_T
+        (models/submodules.py:349-351) and its notebook never queries beyond
+        it, so windows of ≤ max_T frames with a re-based time origin are the
+        only in-range decomposition of the protocol.
+        """
         P = past_frames.shape[1]
+        if P + num_future > self.cfg.Predictor.max_T:
+            return self.vfp_windowed(past_frames, num_future, rng)
         return self.predict(past_frames, np.arange(P),
                             np.arange(P, P + num_future), rng)
+
+    def vfp_windowed(self, past_frames, num_future: int, rng=None):
+        """Sliding-window future prediction for horizons beyond max_T.
+
+        Each window observes the last P frames (times re-based to 0..P-1 —
+        the model is translation-equivariant across windows because training
+        samples every clip position) and predicts the next ``max_T - P``
+        frames; predictions roll into the next window's context. All windows
+        share one (To, TP) shape, so the whole horizon runs a single compiled
+        program.
+        """
+        P = past_frames.shape[1]
+        chunk = self.cfg.Predictor.max_T - P
+        if chunk <= 0:
+            raise ValueError(f"context {P} leaves no target room in "
+                             f"max_T={self.cfg.Predictor.max_T}")
+        rng = rng if rng is not None else jax.random.key(0)
+        ctx = jnp.asarray(past_frames)
+        preds = []
+        produced = 0
+        while produced < num_future:
+            rng, sub = jax.random.split(rng)
+            out = self.predict(ctx, np.arange(P), np.arange(P, P + chunk),
+                               sub)
+            preds.append(out)
+            produced += chunk
+            ctx = jnp.concatenate([ctx, out], axis=1)[:, -P:]
+        return jnp.concatenate(preds, axis=1)[:, :num_future]
 
     def vpe(self, future_frames, num_past: int, rng=None):
         F = future_frames.shape[1]
@@ -162,3 +203,48 @@ class VideoPredictor:
         models/Predictor.py:72-86)."""
         rec, _ = self.ae.apply(self.ae_vars, jnp.asarray(frames), train=False)
         return rec
+
+    # -- device-resident streaming ------------------------------------------
+    def predict_stream(self, frames_stream, to_list: Sequence[float],
+                       tp_list: Sequence[float],
+                       rng: Optional[jax.Array] = None) -> jnp.ndarray:
+        """Serve a stream of batches in ONE device program.
+
+        frames_stream: (S, N, To, H, W, C) — S batches observed at times
+        ``to_list``. Returns (S, N, TP, H, W, C). The S-loop runs on-device
+        (lax.scan), so per-call host dispatch overhead is paid once per
+        *stream* instead of once per batch — on tunneled/remote runtimes the
+        dispatch gap otherwise dominates (measured ≈10-45 ms/dispatch vs
+        ~90 ms device compute for a batch-64 pipeline; CLAUDE.md). All S
+        outputs materialize in HBM.
+        """
+        to_list = np.asarray(to_list, np.float32)
+        tp_list = np.asarray(tp_list, np.float32)
+        key = (int(frames_stream.shape[0]), len(to_list), len(tp_list),
+               "stream")
+        if key not in self._compiled:
+            oc = self._coords(to_list)
+            tc = self._coords(tp_list)
+            num_target = len(tp_list)
+
+            from npvp_tpu.nn.resnet_ae import FrameAutoEncoder
+
+            def run(ae_vars, pred_vars, stream, rng0):
+                def body(carry_rng, frames):
+                    feats = self.ae.apply(ae_vars, frames, train=False,
+                                          method=FrameAutoEncoder.encode)
+                    out = self.predictor.apply(
+                        pred_vars, feats, oc, tc, num_target,
+                        rngs={"latent": carry_rng})
+                    pred = self.ae.apply(ae_vars, out.pred_features,
+                                         train=False,
+                                         method=FrameAutoEncoder.decode)
+                    return jax.random.fold_in(carry_rng, 1), pred
+
+                _, preds = jax.lax.scan(body, rng0, stream)
+                return preds
+
+            self._compiled[key] = jax.jit(run)
+        rng = rng if rng is not None else jax.random.key(0)
+        return self._compiled[key](self.ae_vars, self.predictor_vars,
+                                   jnp.asarray(frames_stream), rng)
