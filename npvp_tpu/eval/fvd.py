@@ -23,16 +23,27 @@ from npvp_tpu.eval.i3d import InceptionI3d
 
 
 def preprocess_videos(videos: np.ndarray, target: int = 224) -> jnp.ndarray:
-    """(N, T, H, W, C) uint8/float in [0, 1] → (N, T, 224, 224, 3) in [-1, 1]
-    (reference utils/fvd.py:161-186: bilinear resize + channel triplication
-    for grayscale)."""
+    """(N, T, H, W, C) uint8/float in [0, 1] → (N, T, 224, 224, 3) in [-1, 1].
+
+    Matches the reference's ``preprocess_single`` exactly
+    (utils/fvd.py:160-185): bilinear resize of the *shorter* side to
+    ``target`` (align_corners=False ≡ jax.image half-pixel centers), center
+    crop of the longer side, then [0,1] → [-1,1]; grayscale triplicated to
+    RGB."""
+    import math
+
     videos = np.asarray(videos, np.float32)
     if videos.shape[-1] == 1:
         videos = np.repeat(videos, 3, axis=-1)
     x = jnp.asarray(videos)
     N, T, H, W, C = x.shape
     if (H, W) != (target, target):
-        x = jax.image.resize(x, (N, T, target, target, C), method="bilinear")
+        scale = target / min(H, W)
+        th, tw = ((target, math.ceil(W * scale)) if H < W
+                  else (math.ceil(H * scale), target))
+        x = jax.image.resize(x, (N, T, th, tw, C), method="bilinear")
+        h0, w0 = (th - target) // 2, (tw - target) // 2
+        x = x[:, :, h0:h0 + target, w0:w0 + target, :]
     return x * 2.0 - 1.0
 
 

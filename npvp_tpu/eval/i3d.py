@@ -34,9 +34,10 @@ class Unit3D(nn.Module):
                     param_dtype=jnp.float32, name="conv3d")(x)
         if self.use_bn:
             # always inference mode: running statistics from the converted
-            # checkpoint (FVD never trains the I3D)
-            x = nn.BatchNorm(use_running_average=True, momentum=0.9,
-                             epsilon=1e-3, dtype=jnp.float32,
+            # checkpoint (FVD never trains the I3D). eps matches the
+            # reference exactly (utils/pytorch_i3d.py:69: eps=1e-5).
+            x = nn.BatchNorm(use_running_average=True, momentum=0.999,
+                             epsilon=1e-5, dtype=jnp.float32,
                              name="bn")(x).astype(self.dtype)
         if self.activation:
             x = nn.relu(x)
@@ -116,9 +117,16 @@ class InceptionI3d(nn.Module):
                            name="Mixed_5b")(x)
         x = InceptionBlock(_INCEPTION_CHANNELS["Mixed_5c"], self.dtype,
                            name="Mixed_5c")(x)
-        # global average over (H, W), keep T for the temporal mean of logits
-        x = jnp.mean(x, axis=(2, 3), keepdims=True)  # (N, T', 1, 1, 1024)
+        # the reference's exact head (utils/pytorch_i3d.py:276-315):
+        # AvgPool3d([2, 7, 7], stride 1, VALID) → dropout (eval: identity) →
+        # 1×1×1 logits conv → spatial squeeze → temporal mean. The temporal
+        # kernel-2 pooling half-weights the endpoint frames relative to a
+        # plain temporal mean, so it cannot be replaced by a global average.
+        kt = min(2, x.shape[1])
+        kh = min(7, x.shape[2])
+        kw = min(7, x.shape[3])
+        x = nn.avg_pool(x, (kt, kh, kw), strides=(1, 1, 1), padding="VALID")
         x = Unit3D(self.num_classes, use_bn=False, activation=False,
                    use_bias=True, dtype=self.dtype, name="logits")(x)
-        # temporal mean of per-frame logits → (N, 400)
-        return jnp.mean(x[:, :, 0, 0, :], axis=1).astype(jnp.float32)
+        # (N, T'-1, H', W', 400): squeeze spatial, temporal mean → (N, 400)
+        return jnp.mean(x, axis=(1, 2, 3)).astype(jnp.float32)
