@@ -19,8 +19,23 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from npvp_tpu.nn.layers import ConvBNAct, reflect_pad_2d
+from npvp_tpu.nn.upsample import subpixel_conv_transpose_3x3_s2
 
 _XAVIER = nn.initializers.xavier_uniform()
+
+
+class _ConvTransposeKernel(nn.Module):
+    """Parameter holder bit-compatible with nn.ConvTranspose's {kernel}
+    (same name, shape (k, k, O, I), and default lecun_normal init), so the
+    sub-pixel execution path shares checkpoints with the ConvTranspose it
+    replaces."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape, jnp.float32)
 
 
 class NonLocalAttention2D(nn.Module):
@@ -208,11 +223,14 @@ class ResnetDecoder(nn.Module):
 
         for i in range(self.n_downsampling):
             mult = 2 ** (self.n_downsampling - i)
-            x = nn.ConvTranspose(
-                self.ngf * mult // 2, (3, 3), strides=(2, 2),
-                padding=((1, 2), (1, 2)), use_bias=False,
-                transpose_kernel=True, dtype=self.dtype,
-                param_dtype=jnp.float32, name=f"up{i}_conv")(x)
+            feats = self.ngf * mult // 2
+            # sub-pixel decomposition of ConvTranspose(k3, s2, p(1,2),
+            # transpose_kernel) — identical math and parameter
+            # (tests/test_upsample.py), but one dense MXU GEMM instead of an
+            # lhs-dilated conv where 3/4 of the MACs hit inserted zeros
+            kernel = _ConvTransposeKernel((3, 3, feats, x.shape[-1]),
+                                          name=f"up{i}_conv")()
+            x = subpixel_conv_transpose_3x3_s2(x, kernel.astype(self.dtype))
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=jnp.float32,
                              name=f"up{i}_bn")(x).astype(self.dtype)

@@ -1,0 +1,54 @@
+"""Sub-pixel (phase-decomposed) ConvTranspose for the AE decoder.
+
+``nn.ConvTranspose(k=3, s=2, padding=((1,2),(1,2)), transpose_kernel=True)``
+(≡ torch ConvTranspose2d(k3, s2, p1, op1)) lowers in XLA to an
+lhs-dilated convolution: 3/4 of the multiply-adds hit inserted zeros and the
+dilated layout maps poorly onto the MXU. The same math decomposes by output
+phase (out[2a+r, 2b+c] touches at most a 2×2 input neighborhood):
+
+- phase (0,0) = k[1,1]·x[a,b]
+- phase (0,1) = k[1,2]·x[a,b] + k[1,0]·x[a,b+1]
+- phase (1,0) = k[2,1]·x[a,b] + k[0,1]·x[a+1,b]
+- phase (1,1) = k[2,2]·x[a,b] + k[2,0]·x[a,b+1] + k[0,2]·x[a+1,b]
+              + k[0,0]·x[a+1,b+1]
+
+(tap map verified empirically against flax ConvTranspose). This module packs
+all four phases into ONE dense 2×2 convolution with 4·O output channels
+followed by a depth-to-space interleave — a single MXU-friendly GEMM of
+shape (B·H·W, 4·I, 4·O) instead of a dilated conv. Exact same function, same
+parameter (tests/test_upsample.py pins equality to float tolerance).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def subpixel_conv_transpose_3x3_s2(x: jnp.ndarray, kernel: jnp.ndarray
+                                   ) -> jnp.ndarray:
+    """x: (B, H, W, I); kernel: (3, 3, O, I) — the flax
+    ``ConvTranspose(transpose_kernel=True)`` parameter, unchanged. Returns
+    (B, 2H, 2W, O), numerically equal to the ConvTranspose."""
+    B, H, W, I = x.shape
+    O = kernel.shape[2]
+    k = kernel.transpose(0, 1, 3, 2)  # (3, 3, I, O) — HWIO taps
+
+    z = jnp.zeros_like(k[0, 0])  # (I, O)
+    # packed (2, 2, I, 4·O) kernel: input-tap (di, dj) → per-phase outputs
+    #   tap (0,0): k11, k12, k21, k22 ; tap (0,1): 0, k10, 0, k20
+    #   tap (1,0): 0, 0, k01, k02     ; tap (1,1): 0, 0, 0, k00
+    row0 = jnp.concatenate([k[1, 1], k[1, 2], k[2, 1], k[2, 2]], axis=-1)
+    row1 = jnp.concatenate([z, k[1, 0], z, k[2, 0]], axis=-1)
+    row2 = jnp.concatenate([z, z, k[0, 1], k[0, 2]], axis=-1)
+    row3 = jnp.concatenate([z, z, z, k[0, 0]], axis=-1)
+    packed = jnp.stack([jnp.stack([row0, row1], axis=0),
+                        jnp.stack([row2, row3], axis=0)], axis=0)
+
+    xp = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    y = jax.lax.conv_general_dilated(
+        xp, packed.astype(x.dtype), window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))  # (B, H, W, 4·O)
+    y = y.reshape(B, H, W, 2, 2, O)
+    y = y.transpose(0, 1, 3, 2, 4, 5)  # (B, H, 2, W, 2, O)
+    return y.reshape(B, 2 * H, 2 * W, O)
