@@ -37,8 +37,20 @@ def load_cli_config(args) -> Config:
 
 
 def setup(cfg: Config):
-    """Seed + mesh + logger. Multi-host init (jax.distributed) is performed
-    by the launcher when JAX_PROCESS_COUNT is set; single-host otherwise."""
+    """Seed + debug mode + multi-host init + mesh.
+
+    Multi-host: when coordinator env vars are present (``JAX_COORDINATOR``/
+    ``JAX_NUM_PROCESSES``/``JAX_PROCESS_ID``, or a managed environment that
+    jax.distributed auto-detects), ``jax.distributed.initialize()`` joins the
+    process group before any backend use — the equivalent of Lightning's DDP
+    process-group init (reference train_AutoEncoder_lightning.py:40-42).
+    Single-host otherwise.
+    """
+    if cfg.Env.debug_nans:
+        # survey §5.2 sanitizer equivalent: re-runs the offending primitive
+        # un-jitted and raises at the first NaN-producing op
+        jax.config.update("jax_debug_nans", True)
+    maybe_init_distributed()
     np.random.seed(cfg.Env.rand_seed)
     mesh_axes = dict(cfg.Env.mesh_shape)
     mesh = make_mesh(data=mesh_axes.get("data", -1),
@@ -47,19 +59,68 @@ def setup(cfg: Config):
     return mesh
 
 
+def maybe_init_distributed() -> bool:
+    """Join the multi-process group when launched by a multi-host launcher.
+
+    Launch procedure (one process per host, e.g. one per TPU VM worker):
+
+        JAX_COORDINATOR=host0:8476 JAX_NUM_PROCESSES=4 JAX_PROCESS_ID=$i \\
+            python -m npvp_tpu.train.stage2_predictor --config_path ...
+
+    On Cloud TPU pods the three variables are auto-detected and only
+    ``JAX_USE_DISTRIBUTED=1`` is needed. Safe to call more than once.
+    """
+    import os
+
+    if jax.process_count() > 1:  # already initialized
+        return True
+    coordinator = os.environ.get("JAX_COORDINATOR")
+    explicit = os.environ.get("JAX_USE_DISTRIBUTED") == "1"
+    if coordinator:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]))
+        return True
+    if explicit:
+        jax.distributed.initialize()  # auto-detected managed environment
+        return True
+    return False
+
+
 def compute_dtype(cfg: Config):
     return jnp.bfloat16 if cfg.Env.compute_dtype == "bfloat16" else jnp.float32
 
 
+_PROFILER_ACTIVE = False
+
+
 def maybe_start_profiler(cfg: Config, step: int, start_step: int = 10,
                          num_steps: int = 5) -> Optional[str]:
-    """jax.profiler trace around a few steady-state steps (survey §5.1)."""
+    """jax.profiler trace around a few steady-state steps (survey §5.1).
+
+    Called once per train step by both trainers; a trace is opened at
+    ``start_step`` and closed ``num_steps`` later (or by
+    :func:`stop_profiler`, which the trainers call at teardown as a
+    backstop for short runs)."""
+    global _PROFILER_ACTIVE
     if cfg.Env.profile_dir is None or not is_main_process():
         return None
-    if step == start_step:
+    if step == start_step and not _PROFILER_ACTIVE:
         jax.profiler.start_trace(cfg.Env.profile_dir)
+        _PROFILER_ACTIVE = True
         return "started"
-    if step == start_step + num_steps:
+    if step == start_step + num_steps and _PROFILER_ACTIVE:
         jax.profiler.stop_trace()
+        _PROFILER_ACTIVE = False
         return "stopped"
     return None
+
+
+def stop_profiler() -> None:
+    """Close a still-open profiler trace (runs shorter than
+    start_step + num_steps)."""
+    global _PROFILER_ACTIVE
+    if _PROFILER_ACTIVE:
+        jax.profiler.stop_trace()
+        _PROFILER_ACTIVE = False

@@ -23,13 +23,14 @@ from npvp_tpu.core.checkpoint import CheckpointManager
 from npvp_tpu.core.config import Config
 from npvp_tpu.core.metrics import (AverageMeters, MetricsLogger,
                                    is_main_process, save_clip_gifs)
-from npvp_tpu.core.mesh import batch_sharding, replicated
+from npvp_tpu.core.mesh import replicated, shard_batch
 from npvp_tpu.core.optim import make_ae_optimizer
 from npvp_tpu.core.train_state import TrainState, param_count
 from npvp_tpu.data.loader import DataModule
 from npvp_tpu.nn.losses import l1_loss
 from npvp_tpu.nn.resnet_ae import FrameAutoEncoder
 from npvp_tpu.train.common import (build_argparser, compute_dtype,
+                                   maybe_start_profiler, stop_profiler,
                                    load_cli_config, setup)
 
 
@@ -53,7 +54,6 @@ def init_state(cfg: Config, ae: FrameAutoEncoder, sample_shape) -> TrainState:
 def make_steps(ae: FrameAutoEncoder, mesh):
     """Build the jitted train/eval steps with mesh shardings."""
     rep = replicated(mesh)
-    data = batch_sharding(mesh)
 
     def train_step(state: TrainState, batch) -> Tuple[TrainState, dict]:
         x = jnp.concatenate([batch["past"], batch["future"]], axis=1)
@@ -80,10 +80,16 @@ def make_steps(ae: FrameAutoEncoder, mesh):
         return rec
 
     train_step = jax.jit(train_step, donate_argnums=0,
-                         in_shardings=(rep, data), out_shardings=(rep, rep))
-    eval_step = jax.jit(eval_step, in_shardings=(rep, data),
-                        out_shardings=rep)
-    return train_step, eval_step, jax.jit(vis_step, in_shardings=(rep, data))
+                         out_shardings=(rep, rep))
+    eval_step = jax.jit(eval_step, out_shardings=rep)
+    vis = jax.jit(vis_step)
+
+    def place(batch):
+        return shard_batch(mesh, batch)
+
+    return (lambda st, b: train_step(st, place(b)),
+            lambda st, b: eval_step(st, place(b)),
+            lambda st, b: vis(st, place(b)))
 
 
 def train(cfg: Config, max_steps: int | None = None) -> TrainState:
@@ -110,6 +116,9 @@ def train(cfg: Config, max_steps: int | None = None) -> TrainState:
         start_epoch = int(state.step) // max(1, dm.len_train_loader or 1)
 
     logger = MetricsLogger(cfg.AE.tensorboard_save_dir)
+    # state (fresh or restored) must live replicated on the mesh before the
+    # first step — batches arrive as mesh-wide global arrays
+    state = jax.device_put(state, replicated(mesh))
     train_step, eval_step, vis_step = make_steps(ae, mesh)
     cfg.save(f"{cfg.AE.ckpt_save_dir}/config.json")
 
@@ -118,6 +127,7 @@ def train(cfg: Config, max_steps: int | None = None) -> TrainState:
         train_loader.set_epoch(epoch)
         meters = AverageMeters()
         for batch in train_loader:
+            maybe_start_profiler(cfg, step)
             state, metrics = train_step(state, batch)
             meters.update(metrics)
             step += 1
@@ -148,6 +158,7 @@ def train(cfg: Config, max_steps: int | None = None) -> TrainState:
         if max_steps is not None and step >= max_steps:
             break
 
+    stop_profiler()
     ckpt.wait()
     logger.close()
     return state

@@ -30,7 +30,7 @@ from npvp_tpu.core.checkpoint import CheckpointManager
 from npvp_tpu.core.config import Config
 from npvp_tpu.core.metrics import (AverageMeters, MetricsLogger,
                                    is_main_process, save_clip_gifs)
-from npvp_tpu.core.mesh import batch_sharding, shard_state
+from npvp_tpu.core.mesh import shard_batch, shard_state
 from npvp_tpu.core.optim import make_predictor_optimizer
 from npvp_tpu.core.train_state import TrainState, param_count
 from npvp_tpu.data.loader import DataModule
@@ -40,6 +40,7 @@ from npvp_tpu.models.predictor import NPPredictor, build_predictor
 from npvp_tpu.nn.losses import kl_divergence, l1_loss
 from npvp_tpu.nn.resnet_ae import FrameAutoEncoder
 from npvp_tpu.train.common import (build_argparser, compute_dtype,
+                                   maybe_start_profiler, stop_profiler,
                                    load_cli_config, setup)
 from npvp_tpu.train.stage1_ae import build_ae, init_state as ae_init_state
 
@@ -116,7 +117,6 @@ def make_steps(cfg: Config, predictor: NPPredictor, ae: FrameAutoEncoder,
                ae_vars: dict, mesh, mode: str):
     p = cfg.Predictor
     stochastic = p.stochastic
-    data_shard = batch_sharding(mesh)
 
     def encode(frames):
         return jax.lax.stop_gradient(
@@ -198,7 +198,9 @@ def make_steps(cfg: Config, predictor: NPPredictor, ae: FrameAutoEncoder,
     eval_step = jax.jit(eval_step)
 
     def place(batch):
-        return jax.device_put(batch, data_shard)
+        # single-host: device_put over the data axis; multi-host: global
+        # array assembly from process-local shards (masks replicated)
+        return shard_batch(mesh, batch)
 
     return train_step, eval_step, place, decode, encode
 
@@ -385,6 +387,7 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> TrainState:
         train_loader.set_epoch(epoch)
         meters = AverageMeters()
         for batch in train_loader:
+            maybe_start_profiler(cfg, step)
             state, metrics = train_step(state, place(batch),
                                         jax.random.fold_in(base_rng, step))
             meters.update(metrics)
@@ -419,6 +422,7 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> TrainState:
         if max_steps is not None and step >= max_steps:
             break
 
+    stop_profiler()
     ckpt.wait()
     logger.close()
     return state
