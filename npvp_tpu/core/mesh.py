@@ -122,25 +122,32 @@ def shard_params(mesh: Mesh, params: Any) -> Any:
     return jax.device_put(params, param_shardings(mesh, params))
 
 
-def shard_batch(mesh: Mesh, batch: Any) -> Any:
+def shard_batch(mesh: Mesh, batch: Any,
+                multihost: Optional[bool] = None) -> Any:
     """Place a batch pytree with its leading axis split over the data axis.
 
     Single-process: a plain device_put. Multi-host: each process holds only
     its shard of the global batch (BatchLoader shards the dataset by
     process_index — the DistributedSampler equivalent), so the global array
-    is assembled from process-local data; the per-leaf global batch dimension
-    is local_batch · process_count. Mask-like leaves whose leading axis is
-    not the batch (e.g. (T,) obs/tgt masks) are replicated.
+    is assembled from process-local data via
+    ``jax.make_array_from_process_local_data``; the per-leaf global batch
+    dimension is local_batch · process_count. Mask-like leaves whose leading
+    axis is not the batch (e.g. (T,) obs/tgt masks) are replicated.
+
+    ``multihost`` forces the assembly path (tests exercise it with one
+    process, where it degenerates to a device_put-equivalent placement).
     """
     sharding = batch_sharding(mesh)
     rep = replicated(mesh)
+    if multihost is None:
+        multihost = jax.process_count() > 1
 
     def spec_for(path, leaf):
         name = _path_str(path)
         is_mask = name.endswith("_mask") or np.ndim(leaf) <= 1
         return rep if is_mask else sharding
 
-    if jax.process_count() == 1:
+    if not multihost:
         return jax.tree_util.tree_map_with_path(
             lambda p, x: jax.device_put(x, spec_for(p, x)), batch)
 

@@ -62,9 +62,17 @@ class NPPredictor(nn.Module):
     ffn_hidden_ratio: int = 4
     dim_feedforward: int = 1024
     exec_mode: str = "xla"
+    affine_posfuse: Optional[bool] = None  # None = auto by fuse/norm type
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
+        # positional fusion folds through the q/k projections when it is an
+        # affine map of the input — 'layer' norm + 'Add' fusion, the shipped
+        # default (see nn/vidhrformer.py frame_affine_stats). SPADE or other
+        # norms use the generic pre-fused path.
+        affine = (self.fuse_method == "Add" and self.norm_type == "layer")
+        if self.affine_posfuse is not None:
+            affine = self.affine_posfuse and affine
         self.nrmlp = NRMLP(out_channels=self.embed_dim,
                            fuse_method=self.fuse_method, dtype=self.dtype)
         if self.evt_former:
@@ -72,6 +80,7 @@ class NPPredictor(nn.Module):
                 self.evt_former_num_layers, self.embed_dim, self.num_heads,
                 self.window_size, self.dropout, self.drop_path,
                 self.ffn_hidden_ratio, self.dim_feedforward, self.norm_type,
+                affine_posfuse=affine,
                 exec_mode=self.exec_mode, dtype=self.dtype)
         self.evt_posterior = EventEncoder(
             self.evt_hidden_channels, self.evt_n_layers,
@@ -84,6 +93,7 @@ class NPPredictor(nn.Module):
             self.transformer_layers, self.embed_dim, self.num_heads,
             self.window_size, self.dropout, self.drop_path,
             self.ffn_hidden_ratio, self.dim_feedforward, self.norm_type,
+            affine_posfuse=affine,
             exec_mode=self.exec_mode, dtype=self.dtype)
         # One LayerNorm instance shared between the EVT-Former output and the
         # decoder output — replicates the reference's shared default-arg norm
@@ -172,7 +182,10 @@ class NPPredictor(nn.Module):
                     predict_coding, train=train, sample=sample_latent)
             # training uses the posterior sample, inference the prior sample
             z = zp if (train and zp is not None) else zo
-            query_evt = jnp.repeat(z[:, None], num_target, axis=1)
+            # the event query is identical at every target time (reference
+            # models/Predictor.py:317 repeats it); keep it (N, 1, H, W, C)
+            # and let the decoder broadcast — the repeat never materializes
+            query_evt = z[:, None]
             out = self.decoder(query_evt, memory, (op_beta, op_gamma),
                                (pp_beta, pp_gamma), self_allow, cross_allow,
                                deterministic)
@@ -180,7 +193,7 @@ class NPPredictor(nn.Module):
             return PredictorOutput(out, mu_o, logvar_o, mu_p, logvar_p)
         else:
             mu_o = self.evt_posterior(observe_coding, train=train)
-            query_evt = jnp.repeat(mu_o[:, None], num_target, axis=1)
+            query_evt = mu_o[:, None]
             out = self.decoder(query_evt, memory, (op_beta, op_gamma),
                                (pp_beta, pp_gamma), self_allow, cross_allow,
                                deterministic)

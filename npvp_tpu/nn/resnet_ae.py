@@ -214,6 +214,13 @@ class ResnetDecoder(nn.Module):
     ngf: int = 64
     n_downsampling: int = 3
     out_layer: str = "Tanh"
+    # Sub-pixel decomposition is numerically identical (tests/test_upsample)
+    # but measured 3% SLOWER end-to-end than XLA's native ConvTranspose
+    # lowering on v5e (tools/ab_probe.py, interleaved pairs, median
+    # convT/subpx = 0.970) — XLA's dilated-conv path is better than its
+    # 3/4-zero-MAC structure suggests. Default stays on ConvTranspose; the
+    # option remains for shapes where the GEMM form wins.
+    subpixel: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -224,13 +231,20 @@ class ResnetDecoder(nn.Module):
         for i in range(self.n_downsampling):
             mult = 2 ** (self.n_downsampling - i)
             feats = self.ngf * mult // 2
-            # sub-pixel decomposition of ConvTranspose(k3, s2, p(1,2),
-            # transpose_kernel) — identical math and parameter
-            # (tests/test_upsample.py), but one dense MXU GEMM instead of an
-            # lhs-dilated conv where 3/4 of the MACs hit inserted zeros
-            kernel = _ConvTransposeKernel((3, 3, feats, x.shape[-1]),
-                                          name=f"up{i}_conv")()
-            x = subpixel_conv_transpose_3x3_s2(x, kernel.astype(self.dtype))
+            if self.subpixel:
+                # sub-pixel decomposition of ConvTranspose(k3, s2, p(1,2),
+                # transpose_kernel) — identical math and parameter
+                # (tests/test_upsample.py), but one dense MXU GEMM instead of
+                # an lhs-dilated conv where 3/4 of the MACs hit inserted zeros
+                kernel = _ConvTransposeKernel((3, 3, feats, x.shape[-1]),
+                                              name=f"up{i}_conv")()
+                x = subpixel_conv_transpose_3x3_s2(x,
+                                                   kernel.astype(self.dtype))
+            else:
+                x = nn.ConvTranspose(
+                    feats, (3, 3), strides=(2, 2), padding=((1, 2), (1, 2)),
+                    use_bias=False, transpose_kernel=True, dtype=self.dtype,
+                    param_dtype=jnp.float32, name=f"up{i}_conv")(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=jnp.float32,
                              name=f"up{i}_bn")(x).astype(self.dtype)

@@ -26,7 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from npvp_tpu.nn.layers import (DropPath, LayerNormHWC, MultiHeadAttention)
+from npvp_tpu.nn.layers import (DropPath, LayerNormHWC, MultiHeadAttention,
+                                scaled_dot_product_attention)
 from npvp_tpu.nn.neural_process import pos_feat_fuse
 from npvp_tpu.nn.quant import QuantDense
 
@@ -66,11 +67,86 @@ def window_reverse(x: jnp.ndarray, window: int, B: int, H: int, W: int
     return x[:, ph_lo:ph_lo + H, pw_lo:pw_lo + W, :]
 
 
+class _MHAParams(nn.Module):
+    """wq/wk/wv/wo parameter holder bit-compatible with MultiHeadAttention
+    (same child names, shapes, and DenseGeneral init), used by the
+    affine-fused attention paths that need raw kernels."""
+
+    embed_dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self):
+        from npvp_tpu.nn.layers import _dense_general_params
+
+        H, D = self.num_heads, self.embed_dim // self.num_heads
+        wq, bq = _dense_general_params(self, "wq", (self.embed_dim,), (H, D))
+        wk, bk = _dense_general_params(self, "wk", (self.embed_dim,), (H, D))
+        wv, bv = _dense_general_params(self, "wv", (self.embed_dim,), (H, D))
+        wo, bo = _dense_general_params(self, "wo", (H, D), (self.embed_dim,))
+        return (wq, bq), (wk, bk), (wv, bv), (wo, bo)
+
+
+def frame_affine_stats(x: jnp.ndarray, eps: float = 1e-5):
+    """pos_feat_fuse('layer', 'Add') as an affine map: returns fp32 (a, b)
+    with ``pos_feat_fuse(x, beta, 0) == a·x + b + beta`` (a, b per (n, t)
+    frame, keepdims). Lets attention fold the fusion *through* the q/k
+    projections: ``posfuse(x)@W = a·(x@W) + b·(1ᵀW) + β@W`` — so q, k, v all
+    project from the raw input in one wide MXU matmul (512→1536 matmuls run
+    ~2.5× the TF/s of 512→512 on v5e) and the fused tensor never
+    materializes in HBM. Exact algebra, same parameters."""
+    mean = jnp.mean(x, axis=(2, 3, 4), keepdims=True, dtype=jnp.float32)
+    mean_sq = jnp.mean(jax.lax.square(x.astype(jnp.float32)),
+                       axis=(2, 3, 4), keepdims=True)
+    var = jnp.maximum(mean_sq - jax.lax.square(mean), 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    return inv, -mean * inv
+
+
+def _matmul(x, w, dtype, quant):
+    if quant:
+        from npvp_tpu.nn.quant import int8_contract
+
+        return int8_contract(x, w, out_dtype=dtype)
+    return x.astype(dtype) @ w.astype(dtype)
+
+
+def _qkv_weights(params):
+    """Flatten and concatenate the q/k/v kernels → (C, 3·HD) plus the
+    per-projection bias/column-sum terms used by the affine fusion."""
+    (wq, bq), (wk, bk), (wv, bv), _ = params
+    C = wq.shape[0]
+    HD = wq.shape[1] * wq.shape[2]
+    flat = lambda w: w.reshape(C, HD)
+    w3 = jnp.concatenate([flat(wq), flat(wk), flat(wv)], axis=-1)
+    ones = (jnp.sum(flat(wq), 0), jnp.sum(flat(wk), 0))  # 1ᵀWq, 1ᵀWk
+    return w3, (flat(wq), flat(wk)), ones, (bq.reshape(HD), bk.reshape(HD),
+                                            bv.reshape(HD)), HD
+
+
+def _out_proj(out, params, dtype, quant=False):
+    (_, _, _, (wo, bo)) = params
+    if quant:
+        from npvp_tpu.nn.quant import int8_contract
+
+        y = int8_contract(out, wo, n_contract=2, out_dtype=dtype)
+    else:
+        y = jax.lax.dot_general(
+            out.astype(dtype), wo.astype(dtype),
+            dimension_numbers=(((out.ndim - 2, out.ndim - 1), (0, 1)),
+                               ((), ())))
+    return y + bo.astype(dtype)
+
+
 class SpatialWindowAttention(nn.Module):
     """Local-window spatial MHSA (reference models/VidHRFormer.py:247-307).
 
     q/k come from the positionally-fused input; v from the raw normalized
-    features (matching the reference's separate ``value=`` path)."""
+    features (matching the reference's separate ``value=`` path).
+
+    Two equivalent execution paths: the generic one takes the pre-fused
+    tensor; the affine path (``pos_beta`` given; 'layer'+'Add' fusion only)
+    folds the fusion through the projections — see frame_affine_stats."""
 
     embed_dim: int
     num_heads: int
@@ -80,16 +156,71 @@ class SpatialWindowAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, value, deterministic=True):
+    def __call__(self, x, value, deterministic=True, pos_beta=None,
+                 evt=None):
         N, T, H, W, C = x.shape
-        xw = window_partition(x.reshape(N * T, H, W, C), self.window_size)
-        vw = window_partition(value.reshape(N * T, H, W, C), self.window_size)
-        out = MultiHeadAttention(
-            self.embed_dim, self.num_heads, dropout=self.dropout,
-            quant=(self.exec_mode == "int8"),
-            dtype=self.dtype, name="attn")(
-                xw, xw, vw, deterministic=deterministic)
-        out = window_reverse(out, self.window_size, N * T, H, W)
+        if pos_beta is None:
+            xw = window_partition(x.reshape(N * T, H, W, C),
+                                  self.window_size)
+            vw = window_partition(value.reshape(N * T, H, W, C),
+                                  self.window_size)
+            out = MultiHeadAttention(
+                self.embed_dim, self.num_heads, dropout=self.dropout,
+                quant=(self.exec_mode == "int8"),
+                dtype=self.dtype, name="attn")(
+                    xw, xw, vw, deterministic=deterministic)
+            out = window_reverse(out, self.window_size, N * T, H, W)
+            return out.reshape(N, T, H, W, C)
+
+        # Affine-fused path: x is the raw normalized input (== value).
+        # The window partition happens ONCE on x before the projection, so
+        # q/k/v emerge directly in window layout — no per-tensor layout
+        # copies (the trace showed ~20% of device time in copies/reshapes).
+        quant = self.exec_mode == "int8"
+        params = _MHAParams(self.embed_dim, self.num_heads, name="attn")()
+        w3, (wq_f, wk_f), (ones_q, ones_k), (bq, bk, bv), HD = \
+            _qkv_weights(params)
+        nh = self.num_heads
+        hd = HD // nh
+        ws = self.window_size
+        # statistics match the reference's fusion input (x + event query)
+        a, b = frame_affine_stats(x if evt is None else x + evt)
+
+        xw = window_partition(x.reshape(N * T, H, W, C), ws)  # (B, w², C)
+        nW = xw.shape[0] // (N * T)
+        P = _matmul(xw, w3, self.dtype, quant).reshape(N, T, nW, ws * ws,
+                                                       3 * HD)
+        pq, pk, pv = P[..., :HD], P[..., HD:2 * HD], P[..., 2 * HD:]
+        if evt is not None:
+            # evt is the (N, 1, H, W, C) event map (same for every target
+            # time): project its windows once, broadcast over T
+            evtw = window_partition(evt.reshape(N, H, W, C), ws)
+            evt_qk = _matmul(evtw, jnp.concatenate([wq_f, wk_f], -1),
+                             self.dtype, quant).reshape(N, 1, nW, ws * ws,
+                                                        2 * HD)
+            pq = pq + evt_qk[..., :HD]
+            pk = pk + evt_qk[..., HD:]
+        beta_w = window_partition(
+            pos_beta.reshape(T, H, W, C).astype(self.dtype), ws)
+        pos_q = (beta_w @ wq_f.astype(self.dtype) + bq
+                 ).reshape(1, T, nW, ws * ws, HD)
+        pos_k = (beta_w @ wk_f.astype(self.dtype) + bk
+                 ).reshape(1, T, nW, ws * ws, HD)
+        a4 = a.reshape(N, T, 1, 1, 1).astype(self.dtype)
+        b4 = b.reshape(N, T, 1, 1, 1)
+        heads = lambda t: t.reshape(t.shape[:-1] + (nh, hd))
+        q = heads(a4 * pq + (b4 * ones_q + pos_q).astype(self.dtype))
+        k = heads(a4 * pk + (b4 * ones_k + pos_k).astype(self.dtype))
+        v = heads(pv + bv.astype(self.dtype))
+        rng = None
+        if self.dropout > 0.0 and not deterministic:
+            rng = self.make_rng("dropout")
+        out = scaled_dot_product_attention(
+            q, k, v, dropout_rate=self.dropout, dropout_rng=rng,
+            deterministic=deterministic)           # (N, T, nW, w², nh, hd)
+        out = _out_proj(out, params, self.dtype, quant=quant)
+        out = window_reverse(out.reshape(N * T * nW, ws * ws, C), ws,
+                             N * T, H, W)
         return out.reshape(N, T, H, W, C)
 
 
@@ -248,21 +379,88 @@ class TemporalAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, q_in, k_in, v_in, allow=None, deterministic=True):
-        # inputs: (N, T, H, W, C) → batch-major (N, H, W, T, C)
-        to_bt = lambda a: a.transpose(0, 2, 3, 1, 4)
+    def __call__(self, q_in, k_in, v_in, allow=None, deterministic=True,
+                 pos_beta_q=None, pos_beta_kv=None, evt_q=None):
+        """Generic path: q_in/k_in are pre-fused tensors. Affine path
+        (``pos_beta_q`` given; 'layer'+'Add' only): q_in/k_in/v_in are the
+        raw inputs and the positional fusion folds through the projections
+        (self-attention: q_in is k_in → one C→3C matmul; cross-attention:
+        separate q and fused k/v projections on memory)."""
         mask = None
         if allow is not None:
             mask = allow[None, None, None, None, :, :]  # (..., heads, Tq, Tk)
-        tq = to_bt(q_in)
-        # preserve object identity so self-attention hits the fused-QK path
-        tk = tq if k_in is q_in else to_bt(k_in)
-        out = MultiHeadAttention(
-            self.embed_dim, self.num_heads, dropout=self.dropout,
-            quant=(self.exec_mode == "int8"),
-            dtype=self.dtype, name="attn")(
-                tq, tk, to_bt(v_in), mask=mask,
-                deterministic=deterministic)
+        to_bt = lambda t: t.transpose(0, 2, 3, 1, 4)
+        quant = self.exec_mode == "int8"
+        if pos_beta_q is None:
+            tq = to_bt(q_in)
+            # preserve object identity → fused-QK path for self-attention
+            tk = tq if k_in is q_in else to_bt(k_in)
+            out = MultiHeadAttention(
+                self.embed_dim, self.num_heads, dropout=self.dropout,
+                quant=quant, dtype=self.dtype, name="attn")(
+                    tq, tk, to_bt(v_in), mask=mask,
+                    deterministic=deterministic)
+            return out.transpose(0, 3, 1, 2, 4)
+
+        # Affine path: transpose to time-minor layout ONCE before the
+        # projections, so q/k/v emerge directly in attention layout (no
+        # per-tensor copies). The memory-side transpose in cross-attention
+        # is identical across decoder layers and CSE'd by XLA.
+        params = _MHAParams(self.embed_dim, self.num_heads, name="attn")()
+        w3, (wq_f, wk_f), (ones_q, ones_k), (bq, bk, bv), HD = \
+            _qkv_weights(params)
+        nh = self.num_heads
+        hd = HD // nh
+        N, T, H, W, C = q_in.shape
+        heads = lambda t: t.reshape(t.shape[:-1] + (nh, hd))
+        # per-frame scalars in (N, 1, 1, T, 1) layout
+        perm5 = lambda t: t.transpose(0, 2, 3, 1, 4)
+        posmm = lambda beta, w, bias, Tn: (
+            beta.reshape(Tn, H, W, C).transpose(1, 2, 0, 3).astype(self.dtype)
+            @ w.astype(self.dtype) + bias)[None]  # (1, H, W, Tn, HD)
+        if k_in is q_in:  # temporal self-attention (v_in raw, same source)
+            s_in = q_in if evt_q is None else q_in + evt_q
+            a, b = frame_affine_stats(s_in)
+            a5, b5 = perm5(a).astype(self.dtype), perm5(b)
+            xT = perm5(q_in)                       # (N, H, W, T, C): 1 copy
+            P = _matmul(xT, w3, self.dtype, quant)
+            pq, pk, pv = P[..., :HD], P[..., HD:2 * HD], P[..., 2 * HD:]
+            if evt_q is not None:
+                # (N, 1, H, W, C) event map → (N, H, W, 1, 2·HD), broadcast T
+                evt_qk = _matmul(perm5(evt_q),
+                                 jnp.concatenate([wq_f, wk_f], -1),
+                                 self.dtype, quant)
+                pq = pq + evt_qk[..., :HD]
+                pk = pk + evt_qk[..., HD:]
+            pos_q = posmm(pos_beta_q, wq_f, bq, T)
+            pos_k = posmm(pos_beta_q, wk_f, bk, T)
+            q = heads(a5 * pq + (b5 * ones_q + pos_q).astype(self.dtype))
+            k = heads(a5 * pk + (b5 * ones_k + pos_k).astype(self.dtype))
+            v = heads(pv + bv.astype(self.dtype))
+        else:  # encoder-decoder cross-attention: v_in == k_in == memory
+            s_in = q_in if evt_q is None else q_in + evt_q
+            aq, bq_s = frame_affine_stats(s_in)
+            sT = perm5(s_in)
+            pq = _matmul(sT, wq_f, self.dtype, quant)
+            pos_q = posmm(pos_beta_q, wq_f, bq, T)
+            q = heads(perm5(aq).astype(self.dtype) * pq
+                      + (perm5(bq_s) * ones_q + pos_q).astype(self.dtype))
+            To = k_in.shape[1]
+            ak, bk_s = frame_affine_stats(k_in)
+            mT = perm5(k_in)
+            P = _matmul(mT, jnp.concatenate(
+                [wk_f, w3[:, 2 * HD:]], -1), self.dtype, quant)
+            pos_k = posmm(pos_beta_kv, wk_f, bk, To)
+            k = heads(perm5(ak).astype(self.dtype) * P[..., :HD]
+                      + (perm5(bk_s) * ones_k + pos_k).astype(self.dtype))
+            v = heads(P[..., HD:] + bv.astype(self.dtype))
+        rng = None
+        if self.dropout > 0.0 and not deterministic:
+            rng = self.make_rng("dropout")
+        out = scaled_dot_product_attention(
+            q, k, v, mask=mask, dropout_rate=self.dropout,
+            dropout_rng=rng, deterministic=deterministic)
+        out = _out_proj(out, params, self.dtype, quant=quant)
         return out.transpose(0, 3, 1, 2, 4)
 
 
@@ -278,6 +476,7 @@ class VidHRFormerBlockEnc(nn.Module):
     ffn_hidden_ratio: int = 4
     dim_feedforward: int = 1024
     norm_type: str = "layer"
+    affine_posfuse: bool = False
     exec_mode: str = "xla"
     dtype: jnp.dtype = jnp.float32
 
@@ -287,12 +486,17 @@ class VidHRFormerBlockEnc(nn.Module):
         ln = lambda name: nn.LayerNorm(dtype=self.dtype,
                                        param_dtype=jnp.float32, name=name)
         dp = DropPath(self.drop_path)
+        af = self.affine_posfuse
 
         x1 = ln("norm1")(x)
-        fused = pos_feat_fuse(x1, pos_beta, pos_gamma, self.norm_type)
-        attn = SpatialWindowAttention(
+        swa = SpatialWindowAttention(
             self.embed_dim, self.num_heads, self.window_size, self.dropout,
-            exec_mode=self.exec_mode, dtype=self.dtype, name="slmhsa")(fused, x1, deterministic)
+            exec_mode=self.exec_mode, dtype=self.dtype, name="slmhsa")
+        if af:
+            attn = swa(x1, x1, deterministic, pos_beta=pos_beta)
+        else:
+            fused = pos_feat_fuse(x1, pos_beta, pos_gamma, self.norm_type)
+            attn = swa(fused, x1, deterministic)
         x = x + dp(attn, deterministic)
 
         ffn = MlpDWBN(self.ffn_hidden_ratio * self.embed_dim, self.embed_dim,
@@ -302,14 +506,17 @@ class VidHRFormerBlockEnc(nn.Module):
         x = x + dp(ffn, deterministic)
 
         x1 = ln("norm3")(x)
-        temp = pos_feat_fuse(x1, pos_beta, pos_gamma, self.norm_type)
         if temporal_allow is None:
             temporal_allow = encoder_temporal_allow(x.shape[1])
-        tattn = TemporalAttention(
+        ta = TemporalAttention(
             self.embed_dim, self.num_heads, self.dropout,
-            exec_mode=self.exec_mode, dtype=self.dtype,
-            name="temporal_mhsa")(temp, temp, x1, temporal_allow,
-                                  deterministic)
+            exec_mode=self.exec_mode, dtype=self.dtype, name="temporal_mhsa")
+        if af:
+            tattn = ta(x1, x1, x1, temporal_allow, deterministic,
+                       pos_beta_q=pos_beta)
+        else:
+            temp = pos_feat_fuse(x1, pos_beta, pos_gamma, self.norm_type)
+            tattn = ta(temp, temp, x1, temporal_allow, deterministic)
         x = x + nn.Dropout(self.dropout, deterministic=deterministic)(tattn)
 
         x1 = ln("norm4")(x)
@@ -340,6 +547,7 @@ class VidHRFormerEncoder(nn.Module):
     ffn_hidden_ratio: int = 4
     dim_feedforward: int = 1024
     norm_type: str = "layer"
+    affine_posfuse: bool = False
     exec_mode: str = "xla"
     dtype: jnp.dtype = jnp.float32
 
@@ -351,6 +559,7 @@ class VidHRFormerEncoder(nn.Module):
                 self.embed_dim, self.num_heads, self.window_size,
                 self.dropout, self.drop_path, self.ffn_hidden_ratio,
                 self.dim_feedforward, self.norm_type,
+                affine_posfuse=self.affine_posfuse,
                 exec_mode=self.exec_mode, dtype=self.dtype,
                 name=f"layer_{i}")(x, pos_beta, pos_gamma, temporal_allow,
                                    deterministic)
@@ -370,6 +579,7 @@ class VidHRFormerBlockDecNAR(nn.Module):
     ffn_hidden_ratio: int = 4
     dim_feedforward: int = 1024
     norm_type: str = "layer"
+    affine_posfuse: bool = False
     exec_mode: str = "xla"
     dtype: jnp.dtype = jnp.float32
 
@@ -383,14 +593,20 @@ class VidHRFormerBlockDecNAR(nn.Module):
         dp = DropPath(self.drop_path)
         drop = lambda y: nn.Dropout(self.dropout,
                                     deterministic=deterministic)(y)
+        af = self.affine_posfuse
 
         # window self-attention with the event query injected into q/k
         tgt2 = ln("norm1")(tgt)
-        fused = pos_feat_fuse(tgt2 + query_evt, tgt_beta, tgt_gamma,
-                              self.norm_type)
-        attn = SpatialWindowAttention(
+        swa = SpatialWindowAttention(
             self.embed_dim, self.num_heads, self.window_size, self.dropout,
-            exec_mode=self.exec_mode, dtype=self.dtype, name="slmhsa")(fused, tgt2, deterministic)
+            exec_mode=self.exec_mode, dtype=self.dtype, name="slmhsa")
+        if af:
+            attn = swa(tgt2, tgt2, deterministic, pos_beta=tgt_beta,
+                       evt=query_evt)
+        else:
+            fused = pos_feat_fuse(tgt2 + query_evt, tgt_beta, tgt_gamma,
+                                  self.norm_type)
+            attn = swa(fused, tgt2, deterministic)
         tgt2 = tgt + dp(attn, deterministic)
 
         ffn = MlpDWBN(self.ffn_hidden_ratio * self.embed_dim, self.embed_dim,
@@ -401,11 +617,15 @@ class VidHRFormerBlockDecNAR(nn.Module):
 
         # temporal self-attention over target times
         t_in = ln("norm3")(tgt2)
-        temp = pos_feat_fuse(t_in, tgt_beta, tgt_gamma, self.norm_type)
-        tattn = TemporalAttention(
+        ta = TemporalAttention(
             self.embed_dim, self.num_heads, self.dropout,
-            exec_mode=self.exec_mode, dtype=self.dtype,
-            name="temporal_mhsa")(temp, temp, t_in, self_allow, deterministic)
+            exec_mode=self.exec_mode, dtype=self.dtype, name="temporal_mhsa")
+        if af:
+            tattn = ta(t_in, t_in, t_in, self_allow, deterministic,
+                       pos_beta_q=tgt_beta)
+        else:
+            temp = pos_feat_fuse(t_in, tgt_beta, tgt_gamma, self.norm_type)
+            tattn = ta(temp, temp, t_in, self_allow, deterministic)
         tgt2 = tgt2 + drop(tattn)
 
         # linear FFN
@@ -421,14 +641,18 @@ class VidHRFormerBlockDecNAR(nn.Module):
         # encoder-decoder cross-attention over observed memory (per (h, w)
         # site, queries at target times attend to keys at observed times)
         q_in = ln("norm5")(tgt2)
-        query = pos_feat_fuse(q_in + query_evt, tgt_beta, tgt_gamma,
-                              self.norm_type)
-        key = pos_feat_fuse(memory, mem_beta, mem_gamma, self.norm_type)
-        cattn = TemporalAttention(
+        ca = TemporalAttention(
             self.embed_dim, self.num_heads, self.dropout,
-            exec_mode=self.exec_mode, dtype=self.dtype,
-            name="enc_dec_attn")(query, key, memory, cross_allow,
-                                 deterministic)
+            exec_mode=self.exec_mode, dtype=self.dtype, name="enc_dec_attn")
+        if af:
+            cattn = ca(q_in, memory, memory, cross_allow, deterministic,
+                       pos_beta_q=tgt_beta, pos_beta_kv=mem_beta,
+                       evt_q=query_evt)
+        else:
+            query = pos_feat_fuse(q_in + query_evt, tgt_beta, tgt_gamma,
+                                  self.norm_type)
+            key = pos_feat_fuse(memory, mem_beta, mem_gamma, self.norm_type)
+            cattn = ca(query, key, memory, cross_allow, deterministic)
         tgt2 = tgt2 + dp(cattn, deterministic)
 
         ffn1 = MlpDWBN(self.ffn_hidden_ratio * self.embed_dim, self.embed_dim,
@@ -454,18 +678,24 @@ class VidHRFormerDecoderNAR(nn.Module):
     ffn_hidden_ratio: int = 4
     dim_feedforward: int = 1024
     norm_type: str = "layer"
+    affine_posfuse: bool = False
     exec_mode: str = "xla"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, query_evt, memory, mem_pos, tgt_pos, self_allow=None,
                  cross_allow=None, deterministic=True):
-        tgt = jnp.zeros_like(query_evt)
+        # query_evt is (N, 1, H, W, C) — broadcast across the TP target
+        # times (derived from the target coordinate grid)
+        N, _, H, W, C = query_evt.shape
+        TP = tgt_pos[0].shape[0] // (H * W)
+        tgt = jnp.zeros((N, TP, H, W, C), query_evt.dtype)
         for i in range(self.num_layers):
             tgt = VidHRFormerBlockDecNAR(
                 self.embed_dim, self.num_heads, self.window_size,
                 self.dropout, self.drop_path, self.ffn_hidden_ratio,
                 self.dim_feedforward, self.norm_type,
+                affine_posfuse=self.affine_posfuse,
                 exec_mode=self.exec_mode, dtype=self.dtype,
                 name=f"layer_{i}")(tgt, query_evt, memory, mem_pos, tgt_pos,
                                    self_allow, cross_allow, deterministic)

@@ -30,7 +30,7 @@ from npvp_tpu.core.checkpoint import CheckpointManager
 from npvp_tpu.core.config import Config
 from npvp_tpu.core.metrics import (AverageMeters, MetricsLogger,
                                    is_main_process, save_clip_gifs)
-from npvp_tpu.core.mesh import shard_batch, shard_state
+from npvp_tpu.core.mesh import replicated, shard_batch, shard_state
 from npvp_tpu.core.optim import make_predictor_optimizer
 from npvp_tpu.core.train_state import TrainState, param_count
 from npvp_tpu.data.loader import DataModule
@@ -351,6 +351,9 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> TrainState:
     mesh = setup(cfg)
     dtype = compute_dtype(cfg)
     ae, ae_vars = load_frozen_ae(cfg, dtype)
+    # the restored AE variables must live replicated on the mesh before the
+    # first step — batches arrive as mesh-wide global arrays
+    ae_vars = jax.device_put(ae_vars, replicated(mesh))
     predictor = build_predictor(cfg, dtype)
     dm = DataModule(cfg, jax.process_index(), jax.process_count())
     mode = dm.predictor_mode()
@@ -375,6 +378,7 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> TrainState:
     if cfg.Predictor.resume_ckpt:
         state = CheckpointManager(cfg.Predictor.resume_ckpt).restore(state)
         start_epoch = int(state.step) // max(1, dm.len_train_loader or 1)
+        state = shard_state(mesh, state)  # restored arrays → mesh layout
 
     logger = MetricsLogger(cfg.Predictor.tensorboard_save_dir)
     train_step, eval_step, place, decode, encode = make_steps(

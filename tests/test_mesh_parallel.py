@@ -95,6 +95,27 @@ def test_tp_forward_at_flagship_width():
     np.testing.assert_allclose(got, expect, atol=3e-5)
 
 
+def test_shard_batch_multihost_assembly_path():
+    """The multi-host global-array assembly path
+    (make_array_from_process_local_data) produces the same placement and
+    values as the single-process device_put path, and replicates mask
+    leaves instead of splitting them over the data axis."""
+    mesh = make_mesh(data=4, model=2)
+    batch = {"clip": np.random.default_rng(0).random((8, 3, 4, 4, 1),
+                                                     np.float32),
+             "obs_mask": np.array([True, True, False])}
+    a = shard_batch(mesh, batch, multihost=False)
+    b = shard_batch(mesh, batch, multihost=True)
+    from jax.sharding import PartitionSpec as P
+
+    assert a["clip"].sharding.spec == b["clip"].sharding.spec == P("data")
+    assert a["obs_mask"].sharding.spec == b["obs_mask"].sharding.spec == P()
+    np.testing.assert_array_equal(np.asarray(a["clip"]),
+                                  np.asarray(b["clip"]))
+    np.testing.assert_array_equal(np.asarray(b["obs_mask"]),
+                                  batch["obs_mask"])
+
+
 def test_dp_gradient_matches_single_device():
     """Mean loss + grads over a sharded batch == single-device result (the
     all-reduce jit emits must be exact)."""

@@ -1,0 +1,106 @@
+"""Capture a jax.profiler trace of the flagship pipeline on the TPU.
+
+If device traces come through the axon tunnel, the per-op breakdown tells us
+exactly where the ~180 ms/batch goes. Output: /tmp/npvp_trace (TensorBoard
+profile plugin format); summarize_trace() prints the top ops from the
+trace.json.gz event file if present.
+"""
+
+import glob
+import gzip
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+OUT = "/tmp/npvp_trace"
+
+
+def main():
+    from __graft_entry__ import _flagship_config
+    from npvp_tpu.models.coords import coordinate_grid, spatial_index_lists
+    from npvp_tpu.models.inference import VideoPredictor
+    from npvp_tpu.nn.resnet_ae import FrameAutoEncoder
+
+    cfg = _flagship_config()
+    vp = VideoPredictor.from_random_init(cfg, dtype=jnp.bfloat16)
+    p = cfg.Predictor
+    h, w = spatial_index_lists(p.max_H, p.max_W)
+    oc = coordinate_grid(jnp.arange(10, dtype=jnp.float32), h, w,
+                         p.max_T, p.max_H, p.max_W)
+    tc = coordinate_grid(jnp.arange(10, 20, dtype=jnp.float32), h, w,
+                         p.max_T, p.max_H, p.max_W)
+    frames = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (64, 10, 64, 64, 1), dtype=np.float32), jnp.bfloat16)
+    key = jax.random.key(0)
+
+    @jax.jit
+    def pipeline(ae_vars, pred_vars, x, k):
+        feats = vp.ae.apply(ae_vars, x, train=False,
+                            method=FrameAutoEncoder.encode)
+        out = vp.predictor.apply(pred_vars, feats, oc, tc, 10,
+                                 rngs={"latent": k})
+        return vp.ae.apply(ae_vars, out.pred_features, train=False,
+                           method=FrameAutoEncoder.decode)
+
+    np.asarray(pipeline(vp.ae_vars, vp.predictor_vars, frames, key))
+    jax.profiler.start_trace(OUT)
+    for i in range(3):
+        out = pipeline(vp.ae_vars, vp.predictor_vars, frames,
+                       jax.random.fold_in(key, i))
+    np.asarray(out[0, 0, 0, 0])
+    jax.profiler.stop_trace()
+    print("trace written", flush=True)
+
+    summarize()
+
+
+def summarize(top=40):
+    files = glob.glob(OUT + "/**/*.trace.json.gz", recursive=True)
+    if not files:
+        print("no trace.json.gz found; files:",
+              glob.glob(OUT + "/**/*", recursive=True)[:20], flush=True)
+        return
+    events = []
+    with gzip.open(sorted(files)[-1], "rt") as f:
+        data = json.load(f)
+    pid_names = {}
+    for ev in data.get("traceEvents", []):
+        if ev.get("ph") == "M" and ev.get("name") == "process_name":
+            pid_names[ev["pid"]] = ev["args"].get("name", "")
+        if ev.get("ph") == "X":
+            events.append(ev)
+    # device ops: pids whose name mentions TPU/device
+    dev_pids = {pid for pid, name in pid_names.items()
+                if "TPU" in name or "/device" in name or "Chip" in name}
+    agg = {}
+    full = {}
+    for ev in events:
+        if dev_pids and ev["pid"] not in dev_pids:
+            continue
+        name = ev["name"].split(".")[0]
+        agg[name] = agg.get(name, 0.0) + ev.get("dur", 0.0)
+        full[ev["name"]] = full.get(ev["name"], 0.0) + ev.get("dur", 0.0)
+    total = sum(agg.values())
+    print(f"device pids: {dev_pids or 'ALL'}; total {total / 1e3:.1f} ms",
+          flush=True)
+    for name, dur in sorted(agg.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"{dur / 1e3:9.2f} ms  {name}", flush=True)
+    print("--- top individual ops ---", flush=True)
+    for name, dur in sorted(full.items(), key=lambda kv: -kv[1])[:top]:
+        if name.startswith("jit_"):
+            continue
+        print(f"{dur / 1e3:9.2f} ms  {name}", flush=True)
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "summarize":
+        summarize()
+    else:
+        main()
