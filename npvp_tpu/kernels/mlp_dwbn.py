@@ -2,18 +2,34 @@
 
 The VidHRFormer FFN (1×1 conv → LayerNorm(H,W,C) → GELU → depthwise 3×3 →
 LN → GELU → 1×1 conv → LN → GELU; reference models/VidHRFormer.py:326-392) is
-the hottest path in the model: under plain XLA every stage materializes a
-(B, 8, 8, hidden) activation in HBM (hidden = 4·embed_dim = 2048 ⇒ ~170 MB
-per tensor at the benchmark batch).
+the single hottest region of the model (~40% of predictor device time):
+under plain XLA every stage materializes a (B, 8, 8, hidden) activation in
+HBM (hidden = 4·embed_dim = 2048 ⇒ ~170 MB per tensor at the benchmark
+batch), and the LN statistics force extra full-tensor passes.
 
 This kernel runs the whole FFN for a block of F frames entirely in VMEM:
 HBM traffic collapses to x-in + y-out + weights. The two 1×1 convs are MXU
 matmuls of shape (F·64, C)·(C, Hd); the depthwise 3×3 is 9 shifted
-multiply-adds on the VPU; norms/GELUs stay on-chip.
+multiply-adds; norms/GELUs stay on-chip.
 
-Mosaic notes: no 3D reductions (per-frame LN statistics use a 2D
-row-sum → (F, HW) reshape → second 2D reduction), no native erf (polynomial
-erf below), LN affine params arrive pre-tiled to (F·HW, dim).
+Round-2 redesign (the round-1 version lost to XLA end-to-end, 205 vs
+179 ms):
+- F=8 frames per grid step (M=512 matmul rows; round 1 used F=2 → M=128,
+  starving the MXU);
+- bfloat16 intermediates with fp32 statistics/accumulators only where
+  required (round 1 kept everything fp32, doubling VMEM and VPU traffic);
+- LN affines stay compact (HW, dim) and are applied per frame through
+  statically-unrolled slices (round 1 pre-tiled them to (F·HW, dim) fp32 —
+  4 MB of VMEM per tensor, forcing the tiny F).
+
+MEASURED RESULT (tools/ab_ffn.py, v5e, flagship shapes B=640 8×8×512
+hidden 2048, 40 interleaved A/B pairs): numerically exact vs the XLA
+composition (bf16 max diff 0.0) but median xla/pallas = 0.87 — the kernel
+LOSES by ~13%. XLA's fusion of this region with full-batch M=40960 matmuls
+is the practical floor at these shapes.
+
+Mosaic notes: no 3D reductions (per-frame LN statistics use full-2D-slice
+reductions), no native erf (polynomial below), iota ≥ 2D.
 
 Inference path (forward only). Training uses the XLA composition — see
 npvp_tpu/nn/vidhrformer.py MlpDWBN.
@@ -55,26 +71,23 @@ def _gelu_tanh(x):
     return 0.5 * x * (1.0 + jnp.tanh(c * (x + 0.044715 * x * x * x)))
 
 
-def _frame_ln(h, scale, bias, eps, F, HW):
-    """h: (F·HW, dim) fp32. Per-frame LayerNorm over contiguous (HW, dim)
-    chunks. Statistics per frame come from static 2D slices (full 2D reduce
-    → scalar); the per-frame scalars are scattered back with an iota row
-    mask — Mosaic supports neither 3D reductions nor narrow cross-lane
-    reshapes, so everything stays 2D."""
+def _ln_gelu_per_frame(h, scale_ref, bias_ref, eps, F, HW, gelu, out_dtype):
+    """h: (F·HW, dim) fp32 → per-frame LayerNorm over contiguous (HW, dim)
+    chunks followed by GELU, emitted per frame from static slices (Mosaic
+    has no 3D reductions; F is small and unrolls). Affine params are the
+    compact (HW, dim) layout shared by all frames."""
     dim = h.shape[-1]
     n = HW * dim
-    row_frame = jax.lax.broadcasted_iota(jnp.int32, (F * HW, 1), 0) // HW
-    mean = jnp.zeros((F * HW, 1), jnp.float32)
-    var = jnp.zeros((F * HW, 1), jnp.float32)
+    scale = scale_ref[:]
+    bias = bias_ref[:]
+    chunks = []
     for f in range(F):
         c = h[f * HW:(f + 1) * HW, :]
         m = jnp.sum(c) / n
         v = jnp.sum(jax.lax.square(c)) / n - jax.lax.square(m)
-        mask = row_frame == f
-        mean = jnp.where(mask, m, mean)
-        var = jnp.where(mask, v, var)
-    inv = jax.lax.rsqrt(var + eps)
-    return (h - mean) * inv * scale + bias
+        inv = jax.lax.rsqrt(v + eps)
+        chunks.append(gelu((c - m) * inv * scale + bias).astype(out_dtype))
+    return jnp.concatenate(chunks, axis=0)
 
 
 def _kernel(x_ref, w1_ref, b1_ref, ln1s_ref, ln1b_ref, dw_ref, bdw_ref,
@@ -84,16 +97,15 @@ def _kernel(x_ref, w1_ref, b1_ref, ln1s_ref, ln1b_ref, dw_ref, bdw_ref,
     Hd = w1_ref.shape[-1]
     HW = H * W
     Cout = w2_ref.shape[-1]
-    _gelu = _gelu_erf if mm_dtype == jnp.float32 else _gelu_tanh
+    gelu = _gelu_erf if mm_dtype == jnp.float32 else _gelu_tanh
 
     x = x_ref[:].reshape(F * HW, C)
     h = jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32)
     h = h + b1_ref[:]
-    h = _frame_ln(h, ln1s_ref[:], ln1b_ref[:], eps, F, HW)
-    h = _gelu(h)
+    h = _ln_gelu_per_frame(h, ln1s_ref, ln1b_ref, eps, F, HW, gelu, mm_dtype)
 
-    # depthwise 3×3, zero padding, as 9 shifted multiply-adds on the VPU
-    h4 = h.reshape(F, H, W, Hd).astype(mm_dtype)
+    # depthwise 3×3, zero padding, as 9 shifted multiply-adds
+    h4 = h.reshape(F, H, W, Hd)
     hp = jnp.pad(h4, ((0, 0), (1, 1), (1, 1), (0, 0)))
     acc = jnp.zeros((F, H, W, Hd), jnp.float32)
     for di in range(3):
@@ -101,19 +113,18 @@ def _kernel(x_ref, w1_ref, b1_ref, ln1s_ref, ln1b_ref, dw_ref, bdw_ref,
             acc += (hp[:, di:di + H, dj:dj + W, :].astype(jnp.float32)
                     * dw_ref[di, dj, :])
     h = acc.reshape(F * HW, Hd) + bdw_ref[:]
-    h = _frame_ln(h, ln2s_ref[:], ln2b_ref[:], eps, F, HW)
-    h = _gelu(h).astype(mm_dtype)
+    h = _ln_gelu_per_frame(h, ln2s_ref, ln2b_ref, eps, F, HW, gelu, mm_dtype)
 
     y = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
     y = y + b2_ref[:]
-    y = _frame_ln(y, ln3s_ref[:], ln3b_ref[:], eps, F, HW)
-    y = _gelu(y)
-    out_ref[:] = y.reshape(F, H, W, Cout).astype(out_ref.dtype)
+    y = _ln_gelu_per_frame(y, ln3s_ref, ln3b_ref, eps, F, HW, gelu,
+                           out_ref.dtype)
+    out_ref[:] = y.reshape(F, H, W, Cout)
 
 
 def fused_mlp_dwbn(x, w1, b1, ln1_scale, ln1_bias, dw, dw_bias, ln2_scale,
                    ln2_bias, w2, b2, ln3_scale, ln3_bias,
-                   frames_per_block: int = 2, eps: float = 1e-5,
+                   frames_per_block: int = 8, eps: float = 1e-5,
                    interpret: bool = False):
     """x: (B, H, W, C) frames → (B, H, W, C_out).
 
@@ -128,12 +139,7 @@ def fused_mlp_dwbn(x, w1, b1, ln1_scale, ln1_bias, dw, dw_bias, ln2_scale,
     grid = (B // F,)
     param_dtype = jnp.float32 if interpret else jnp.bfloat16
 
-    def tiled(a, d):
-        # pre-tile LN affine params to the (F·HW, dim) block layout so the
-        # kernel applies them with a plain elementwise multiply
-        a = jnp.asarray(a, jnp.float32).reshape(H * W, d)
-        return jnp.tile(a, (F, 1))
-
+    aff = lambda a, d: jnp.asarray(a, jnp.float32).reshape(H * W, d)
     vec = lambda a: jnp.asarray(a, jnp.float32).reshape(1, -1)
     const = lambda shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
@@ -146,11 +152,11 @@ def fused_mlp_dwbn(x, w1, b1, ln1_scale, ln1_bias, dw, dw_bias, ln2_scale,
             pl.BlockSpec((F, H, W, C), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             const((C, Hd)), const((1, Hd)),
-            const((F * H * W, Hd)), const((F * H * W, Hd)),
+            const((H * W, Hd)), const((H * W, Hd)),
             const((3, 3, Hd)), const((1, Hd)),
-            const((F * H * W, Hd)), const((F * H * W, Hd)),
+            const((H * W, Hd)), const((H * W, Hd)),
             const((Hd, Cout)), const((1, Cout)),
-            const((F * H * W, Cout)), const((F * H * W, Cout)),
+            const((H * W, Cout)), const((H * W, Cout)),
         ],
         out_specs=pl.BlockSpec((F, H, W, Cout), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -158,8 +164,8 @@ def fused_mlp_dwbn(x, w1, b1, ln1_scale, ln1_bias, dw, dw_bias, ln2_scale,
         interpret=interpret,
     )(x,
       w1.astype(param_dtype), vec(b1),
-      tiled(ln1_scale, Hd), tiled(ln1_bias, Hd),
+      aff(ln1_scale, Hd), aff(ln1_bias, Hd),
       jnp.asarray(dw, jnp.float32), vec(dw_bias),
-      tiled(ln2_scale, Hd), tiled(ln2_bias, Hd),
+      aff(ln2_scale, Hd), aff(ln2_bias, Hd),
       w2.astype(param_dtype), vec(b2),
-      tiled(ln3_scale, Cout), tiled(ln3_bias, Cout))
+      aff(ln3_scale, Cout), aff(ln3_bias, Cout))
