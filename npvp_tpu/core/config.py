@@ -129,11 +129,12 @@ class PredictorConfig:
     ndf: int = 64
 
     # TPU-native addition: execution mode of the compute path.
-    #   "xla"    — composable XLA ops (training, autodiff; default)
-    #   "int8"   — dynamic-int8 serving matmuls (MXU int8 ~1.75x bf16)
-    #   "pallas" — fused Pallas kernels (serving; falls back to "xla" off-TPU)
-    # Training always uses "xla"; serving entry points pick the fastest
-    # measured mode (bench.py / VideoPredictor).
+    #   "xla"  — composable XLA ops (training + serving default)
+    #   "int8" — dynamic-int8 serving matmuls (kept for compute-bound
+    #            shapes; at this model's bandwidth-bound widths it measured
+    #            SLOWER end-to-end — DESIGN.md round-2 findings)
+    # Training always uses "xla". A "pallas" mode existed and was deleted
+    # after losing its A/B (npvp_tpu/kernels/__init__.py).
     exec_mode: str = "xla"
 
 
@@ -162,7 +163,7 @@ class Config:
             raise ValueError("embed_dim must be divisible by num_heads")
         if p.fuse_method not in ("Add", "SPADE"):
             raise ValueError(f"unknown fuse_method {p.fuse_method!r}")
-        if p.exec_mode not in ("xla", "int8", "pallas"):
+        if p.exec_mode not in ("xla", "int8"):
             raise ValueError(f"unknown exec_mode {p.exec_mode!r}")
         if self.AE.out_layer not in ("Tanh", "Sigmoid"):
             raise ValueError(f"unsupported AE.out_layer {self.AE.out_layer!r}")

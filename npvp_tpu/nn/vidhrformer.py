@@ -280,10 +280,11 @@ class MlpDWBN(nn.Module):
     models/VidHRFormer.py:326-392, AR_model=True path).
 
     Execution paths over one parameter set: a composable XLA path
-    ("xla" — training; autodiff), a dynamic-int8 path ("int8" — serving; the
-    1×1 convs are per-token-quantized MXU matmuls, the cheap depthwise conv
-    stays in the compute dtype) and a fused Pallas kernel ("pallas" —
-    keeps the 4×-wide hidden activations in VMEM, npvp_tpu/kernels/mlp_dwbn).
+    ("xla" — training; autodiff) and a dynamic-int8 path ("int8" — serving;
+    the 1×1 convs are per-token-quantized MXU matmuls, the cheap depthwise
+    conv stays in the compute dtype). A fused Pallas kernel for this region
+    was built twice and measured slower than the XLA composition — see
+    npvp_tpu/kernels/__init__.py for the record.
     """
 
     hidden_features: int
@@ -305,16 +306,6 @@ class MlpDWBN(nn.Module):
 
         act = _gelu_for(self.dtype)
         y = x.reshape(N * T, H, W, C)
-        if (self.exec_mode == "pallas" and deterministic
-                and jax.default_backend() == "tpu"):
-            from npvp_tpu.kernels.mlp_dwbn import fused_mlp_dwbn
-
-            out = fused_mlp_dwbn(
-                y.astype(jnp.bfloat16), w1.reshape(C, Hd), b1, ln1s, ln1b,
-                dw.reshape(3, 3, Hd), bdw, ln2s, ln2b, w2.reshape(Hd, Co),
-                b2, ln3s, ln3b)
-            return out.astype(self.dtype).reshape(N, T, H, W, Co)
-
         if self.exec_mode == "int8":
             from npvp_tpu.nn.quant import int8_contract
 

@@ -38,7 +38,11 @@ def run_tasks(cfg, vp: VideoPredictor, dm: DataModule, tasks, num_batches=2,
             break
     P = d.test_num_past_frames
     F = d.test_num_future_frames
-    T = P + F
+    # within-clip tasks operate on the leading max_T-frame segment (the
+    # trained coordinate range — the reference notebook never queries
+    # beyond it); VFP covers the full horizon via the sliding-window
+    # protocol (VideoPredictor.vfp)
+    T = min(P + F, cfg.Predictor.max_T)
     rng = rng if rng is not None else jax.random.key(0)
     results = {}
 
@@ -55,9 +59,28 @@ def run_tasks(cfg, vp: VideoPredictor, dm: DataModule, tasks, num_batches=2,
             full = np.concatenate([batch["past"], batch["future"]], axis=1)
             key = jax.random.fold_in(rng, bi)
             if task == "VFP":
-                obs, to, tp = full[:, :P], np.arange(P), np.arange(P, T)
-            elif task == "VPE":
-                obs, to, tp = full[:, F:], np.arange(F, T), np.arange(F)
+                pred, dt = timed(vp.vfp, jnp.asarray(full[:, :P]), F, key)
+                times.append(dt)
+                tp = np.arange(P, P + F)
+                gt = full[:, tp]
+                for t in range(pred.shape[1]):
+                    scores_psnr.append(float(psnr(
+                        jnp.asarray(dm.renorm(pred[:, t])),
+                        jnp.asarray(dm.renorm(gt[:, t])))))
+                    scores_ssim.append(float(ssim(
+                        jnp.asarray(dm.renorm(pred[:, t])),
+                        jnp.asarray(dm.renorm(gt[:, t])))))
+                if sample_gif is None and gif_dir is not None:
+                    save_clip_gifs(Path(gif_dir) / "VFP.gif",
+                                   {"observed": dm.renorm(full[0, :P]),
+                                    "pred": dm.renorm(pred[0]),
+                                    "gt": dm.renorm(gt[0])})
+                    sample_gif = str(Path(gif_dir) / "VFP.gif")
+                continue
+            if task == "VPE":
+                Fe = T - P
+                obs, to, tp = (full[:, T - P:T], np.arange(Fe, T),
+                               np.arange(Fe))
             elif task == "VFI":
                 k = max(1, P // 2)
                 to = np.concatenate([np.arange(k), np.arange(T - k, T)])
@@ -68,9 +91,10 @@ def run_tasks(cfg, vp: VideoPredictor, dm: DataModule, tasks, num_batches=2,
                 to, tp = np.sort(perm[:P]), np.sort(perm[P:])
                 obs = full[:, to]
             elif task == "HVRC":
-                to = np.arange(P, dtype=np.float32)
-                tp = np.arange(P - 1, T - 1) + 0.5  # fractional times
-                obs = full[:, :P]
+                Pe = min(P, T - 1)
+                to = np.arange(Pe, dtype=np.float32)
+                tp = np.arange(Pe - 1, T - 1) + 0.5  # fractional times
+                obs = full[:, :Pe]
             else:
                 raise ValueError(f"unknown task {task}")
             pred, dt = timed(vp.predict, jnp.asarray(obs), to, tp, key)
