@@ -105,6 +105,12 @@ def evaluate(cfg: Config, fvd_i3d_ckpt: str | None = None,
             pred = vp.vfp(jnp.asarray(batch["past"]), num_future, rng)
             return pred, np.asarray(batch["future"], np.float32)
     else:
+        clip_len = d.test_num_past_frames + d.test_num_future_frames
+        if clip_len < p.max_T:
+            raise ValueError(
+                f"task {task} evaluates the leading max_T={p.max_T} frames "
+                f"but test clips are only {clip_len} long; increase "
+                "Dataset.test_num_{past,future}_frames")
         to, tp, metric_idx = _task_split(task, cfg, seed=cfg.Env.rand_seed)
 
         def predict_and_gt(batch, rng):
@@ -134,7 +140,9 @@ def evaluate(cfg: Config, fvd_i3d_ckpt: str | None = None,
             rng = jax.random.fold_in(jax.random.fold_in(base_rng, bi), s)
             pred, gt = predict_and_gt(batch, rng)
             pred = np.asarray(pred, np.float32)[:, metric_idx]
-            if s == 0:
+            if s == 0 and fvd_i3d_ckpt is not None:
+                # only FVD consumes the raw frames — don't hold the whole
+                # test set in host RAM otherwise
                 first_sample_preds.append(pred)
                 gts.append(gt)
             per = {}

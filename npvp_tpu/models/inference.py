@@ -220,16 +220,17 @@ class VideoPredictor:
         """
         to_list = np.asarray(to_list, np.float32)
         tp_list = np.asarray(tp_list, np.float32)
+        # coordinates are jit ARGUMENTS (times are data, not shapes — same
+        # rule as predict()): one cached program per (S, To, TP) shape, any
+        # coordinate values
         key = (int(frames_stream.shape[0]), len(to_list), len(tp_list),
                "stream")
         if key not in self._compiled:
-            oc = self._coords(to_list)
-            tc = self._coords(tp_list)
             num_target = len(tp_list)
 
             from npvp_tpu.nn.resnet_ae import FrameAutoEncoder
 
-            def run(ae_vars, pred_vars, stream, rng0):
+            def run(ae_vars, pred_vars, stream, oc, tc, rng0):
                 def body(carry_rng, frames):
                     feats = self.ae.apply(ae_vars, frames, train=False,
                                           method=FrameAutoEncoder.encode)
@@ -247,4 +248,6 @@ class VideoPredictor:
             self._compiled[key] = jax.jit(run)
         rng = rng if rng is not None else jax.random.key(0)
         return self._compiled[key](self.ae_vars, self.predictor_vars,
-                                   jnp.asarray(frames_stream), rng)
+                                   jnp.asarray(frames_stream),
+                                   self._coords(to_list),
+                                   self._coords(tp_list), rng)

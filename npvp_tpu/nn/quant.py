@@ -1,9 +1,12 @@
 """Dynamic int8 quantization for the serving path.
 
 The reference serves in fp16/fp32 on CUDA; on TPU the MXU executes int8×int8
-matmuls at ~2× the bf16 rate (measured ~1.75× end-to-end at this model's
-shapes on v5e — DESIGN.md "Performance status"). This module provides the
-int8 building blocks used when a model is built with ``exec_mode="int8"``:
+matmuls at up to ~2× the bf16 rate when compute-bound. At THIS model's
+matmul widths the dots are bandwidth/latency-bound (int8 measured ≈1× bf16,
+and the dynamic-quant pipeline measured slower end-to-end — DESIGN.md
+"Performance status (round 2)"), so the int8 path is an option for
+compute-bound deployments, not the default. This module provides the int8
+building blocks used when a model is built with ``exec_mode="int8"``:
 
 - activations are quantized **dynamically per token** (abs-max over the
   contracted features, one fp32 scale per row);
@@ -139,8 +142,6 @@ class QuantDense(nn.Module):
             bias = self.param("bias", nn.initializers.zeros, feats,
                               jnp.float32)
             y = y + bias.astype(self.dtype)
-        if isinstance(self.features, int):
-            pass  # y already has a single trailing feature axis
         return y
 
 

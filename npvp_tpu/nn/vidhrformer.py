@@ -208,6 +208,14 @@ class SpatialWindowAttention(nn.Module):
                  ).reshape(1, T, nW, ws * ws, HD)
         a4 = a.reshape(N, T, 1, 1, 1).astype(self.dtype)
         b4 = b.reshape(N, T, 1, 1, 1)
+        # the per-frame shift b·1ᵀW applies only to REAL positions: padded
+        # window slots must stay bias-only (b·x with x=0 is 0), matching the
+        # generic path where fusion happens before the zero padding
+        if H % ws or W % ws:
+            pad_mask = window_partition(
+                jnp.ones((1, H, W, 1), self.dtype), ws
+            ).reshape(1, 1, nW, ws * ws, 1)
+            b4 = b4 * pad_mask
         heads = lambda t: t.reshape(t.shape[:-1] + (nh, hd))
         q = heads(a4 * pq + (b4 * ones_q + pos_q).astype(self.dtype))
         k = heads(a4 * pk + (b4 * ones_k + pos_k).astype(self.dtype))

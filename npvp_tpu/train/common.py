@@ -59,6 +59,9 @@ def setup(cfg: Config):
     return mesh
 
 
+_DISTRIBUTED_INITIALIZED = False
+
+
 def maybe_init_distributed() -> bool:
     """Join the multi-process group when launched by a multi-host launcher.
 
@@ -69,23 +72,30 @@ def maybe_init_distributed() -> bool:
 
     On Cloud TPU pods the three variables are auto-detected and only
     ``JAX_USE_DISTRIBUTED=1`` is needed. Safe to call more than once.
+
+    Must run before ANY backend-initializing jax call (even
+    ``jax.process_count()`` initializes the XLA backend, after which
+    ``jax.distributed.initialize`` raises) — so the guard here is a module
+    flag plus the env vars, never a jax query.
     """
     import os
 
-    if jax.process_count() > 1:  # already initialized
+    global _DISTRIBUTED_INITIALIZED
+    if _DISTRIBUTED_INITIALIZED:
         return True
     coordinator = os.environ.get("JAX_COORDINATOR")
     explicit = os.environ.get("JAX_USE_DISTRIBUTED") == "1"
+    if not coordinator and not explicit:
+        return False
     if coordinator:
         jax.distributed.initialize(
             coordinator_address=coordinator,
             num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
             process_id=int(os.environ["JAX_PROCESS_ID"]))
-        return True
-    if explicit:
+    else:
         jax.distributed.initialize()  # auto-detected managed environment
-        return True
-    return False
+    _DISTRIBUTED_INITIALIZED = True
+    return True
 
 
 def compute_dtype(cfg: Config):

@@ -76,6 +76,27 @@ def test_vfp_beyond_max_t_uses_windows():
     assert np.abs(out[:, :10] - out[:, 10:]).max() > 1e-6
 
 
+def test_predict_stream_coords_are_data_not_cache_keys():
+    """Two streams with the same (S, To, TP) shapes but different target
+    times must produce different results matching predict() — the cached
+    program takes coordinates as arguments (code-review round-2 finding:
+    baking them into the closure served the first call's times forever)."""
+    cfg = _tiny_cfg()
+    vp = VideoPredictor.from_random_init(cfg, dtype=jnp.float32)
+    frames = np.random.default_rng(0).standard_normal(
+        (1, 5, 64, 64, 1)).astype(np.float32) * 0.3
+    stream = frames[None]  # S=1
+    rng = jax.random.key(0)
+    out_a = np.asarray(vp.predict_stream(stream, np.arange(5),
+                                         np.arange(5, 8), rng))
+    out_b = np.asarray(vp.predict_stream(stream, np.arange(5),
+                                         np.arange(8, 11), rng))
+    assert np.abs(out_a - out_b).max() > 1e-5  # different times, different preds
+    ref_b = np.asarray(vp.predict(frames, np.arange(5), np.arange(8, 11),
+                                  rng))
+    np.testing.assert_allclose(out_b[0], ref_b, atol=1e-5)
+
+
 def test_task_splits_cover_and_partition():
     from npvp_tpu.eval.evaluate import _task_split
 
