@@ -13,6 +13,7 @@ equivalent here).
 
 from __future__ import annotations
 
+import contextlib
 import re
 from typing import Any, Optional
 
@@ -120,6 +121,60 @@ def shard_state(mesh: Mesh, state: Any) -> Any:
 def shard_params(mesh: Mesh, params: Any) -> Any:
     """Place a parameter pytree on the mesh according to the TP rules."""
     return jax.device_put(params, param_shardings(mesh, params))
+
+
+# ---------------------------------------------------------------------------
+# Sequence/context parallelism (survey §2.5 "shard N·H·W")
+# ---------------------------------------------------------------------------
+#
+# The VidHRFormer's structure makes the spatial H axis an almost
+# communication-free model-parallel dimension: window attention is
+# independent per window row, temporal and cross attention are independent
+# per (h, w) site, and the FFN 1×1 convs are independent per position. Only
+# the depthwise 3×3 conv (one-row halo) and the per-frame LayerNorm
+# statistics (scalar psum) cross shard boundaries — and XLA's SPMD
+# partitioner inserts exactly those collectives from sharding constraints;
+# there is no hand-written communication code. Activating it is a context:
+#
+#     with sequence_parallel(mesh):
+#         out = jitted_forward(...)
+#
+# Inside the context, the transformer stacks constrain their (N, T, H, W, C)
+# activations to P(data, None, model) at every block boundary, so activation
+# memory and elementwise work scale down by the model-axis size (Megatron-SP
+# layout; the head-split TP rules still apply to the matmuls themselves).
+
+_SP_MESH: Optional[Mesh] = None
+
+
+@contextlib.contextmanager
+def sequence_parallel(mesh: Optional[Mesh]):
+    """Enable spatial sequence-parallel activation sharding on ``mesh``'s
+    model axis for jit traces entered inside the context.
+
+    The context is consulted at *trace* time: constraints are baked into the
+    compiled program, and jax's jit cache is keyed by function identity — so
+    wrap the first (tracing) call, and do not reuse one jitted function both
+    inside and outside the context."""
+    global _SP_MESH
+    prev, _SP_MESH = _SP_MESH, mesh
+    try:
+        yield
+    finally:
+        _SP_MESH = prev
+
+
+def sp_shard(x):
+    """Constrain a (N, T, H, W, ...) activation to batch-over-data,
+    H-over-model. No-op when no :func:`sequence_parallel` context is active,
+    the model axis is trivial, or H does not divide evenly."""
+    mesh = _SP_MESH
+    if mesh is None or mesh.shape.get(MODEL_AXIS, 1) == 1 or x.ndim < 3:
+        return x
+    if x.shape[2] % mesh.shape[MODEL_AXIS]:
+        return x
+    spec = P(DATA_AXIS, None, MODEL_AXIS)
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 
 def shard_batch(mesh: Mesh, batch: Any,

@@ -145,3 +145,50 @@ def test_dp_gradient_matches_single_device():
         # relative-or-absolute: near-zero-gradient leaves compare absolutely
         tol = 5e-3 * np.linalg.norm(a) + 1e-4 * np.sqrt(a.size)
         assert np.linalg.norm(a - b) <= tol, (np.linalg.norm(a - b), tol)
+
+
+def test_sp_shard_constrains_activation_layout():
+    """sp_shard inside a sequence_parallel context forces the (N, T, H, ...)
+    layout batch-over-data / H-over-model; outside it is the identity."""
+    from jax.sharding import PartitionSpec as P
+
+    from npvp_tpu.core.mesh import sequence_parallel, sp_shard
+
+    mesh = make_mesh(data=2, model=2)
+    x = jnp.zeros((4, 2, 8, 8, 16))
+    # the context is consulted at TRACE time (the constraint is baked into
+    # the compiled program) — each case below uses a fresh function object so
+    # jax's identity-keyed jit cache cannot reuse a trace from another case
+    with sequence_parallel(mesh):
+        y = jax.jit(lambda t: sp_shard(t))(x)
+    assert y.sharding.spec == P("data", None, "model")
+    # no-op cases: no context / model axis 1 / indivisible H
+    assert jax.jit(lambda t: sp_shard(t))(x).sharding.spec != P(
+        "data", None, "model")
+    with sequence_parallel(make_mesh(data=4, model=1)):
+        jax.jit(lambda t: sp_shard(t))(x)  # must not raise
+    with sequence_parallel(mesh):
+        z = jax.jit(lambda t: sp_shard(t))(jnp.zeros((4, 2, 7, 8, 16)))
+    assert z.sharding.spec != P("data", None, "model")
+
+
+def test_sp_forward_matches_single_device():
+    """Sequence-parallel (spatial H sharding over the model axis) execution
+    reproduces the single-device forward: XLA must insert the depthwise-conv
+    halo exchange and the frame-LayerNorm psum correctly (survey §2.5
+    "shard N·H·W")."""
+    from npvp_tpu.core.mesh import sequence_parallel
+
+    model, variables, obs, oc, tc = _tiny_model_and_inputs()
+    expect = np.asarray(model.apply(variables, obs, oc, tc, 2).pred_features)
+
+    mesh = make_mesh(data=2, model=4)
+    sharded_vars = {"params": shard_params(mesh, variables["params"]),
+                    "batch_stats": jax.device_put(
+                        variables["batch_stats"],
+                        jax.sharding.NamedSharding(
+                            mesh, jax.sharding.PartitionSpec()))}
+    fn = jax.jit(lambda v, x: model.apply(v, x, oc, tc, 2).pred_features)
+    with sequence_parallel(mesh):
+        got = np.asarray(fn(sharded_vars, shard_batch(mesh, obs)))
+    np.testing.assert_allclose(got, expect, atol=2e-5)
