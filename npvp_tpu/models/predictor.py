@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from npvp_tpu.nn.layers import TokenLayerNorm
 from npvp_tpu.nn.neural_process import NRMLP, EventEncoder, pos_feat_fuse
 from npvp_tpu.nn.vidhrformer import (VidHRFormerDecoderNAR, VidHRFormerEncoder,
                                      encoder_temporal_allow)
@@ -99,8 +100,7 @@ class NPPredictor(nn.Module):
         # decoder output — replicates the reference's shared default-arg norm
         # (models/Predictor.py:270: the same nn.LayerNorm(512) object is passed
         # to both stacks).
-        self.final_norm = nn.LayerNorm(dtype=self.dtype,
-                                       param_dtype=jnp.float32)
+        self.final_norm = TokenLayerNorm(dtype=self.dtype)
 
     def event_coding(self, feats, pos_beta, pos_gamma, mask=None,
                      deterministic=True):
@@ -206,8 +206,8 @@ def build_predictor(cfg, dtype=jnp.float32,
     """Construct an NPPredictor from a Config (npvp_tpu.core.config).
 
     ``exec_mode`` overrides ``cfg.Predictor.exec_mode``: "xla" (composable,
-    training/autodiff), "int8" (dynamic-int8 serving matmuls) or "pallas"
-    (fused TPU kernels). One parameter set serves every mode."""
+    training/autodiff) or "int8" (dynamic-int8 serving matmuls). One
+    parameter set serves every mode."""
     p = cfg.Predictor
     return NPPredictor(
         embed_dim=p.embed_dim,

@@ -129,6 +129,83 @@ def _dense_general_params(mod: nn.Module, name: str, in_dims, out_dims):
     return _P(name=name)()
 
 
+class BatchNorm(nn.Module):
+    """BatchNorm with compute-dtype activation traffic, checkpoint-compatible
+    with flax ``nn.BatchNorm`` (same param/variable names, shapes, inits, and
+    running-average update rule).
+
+    flax's BatchNorm with fp32 params promotes the whole activation tensor to
+    fp32 — the optimized HLO of the flagship pipeline showed multi-hundred-MB
+    f32 materializations + layout copies at every AE norm (tools/hlo_probe.py).
+    Here statistics accumulate in fp32 (reading the tensor once in its compute
+    dtype — the convert fuses into the reduction) and the normalization is
+    applied as a per-channel affine ``x·a + b`` in the compute dtype, so the
+    big tensor is never widened. Same math as flax within rounding.
+    """
+
+    use_running_average: bool = True
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((C,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((C,), jnp.float32))
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            # fp32 statistics over the compute-dtype tensor; under a sharded
+            # batch axis jit emits the cross-replica reduction (sync-BN)
+            mean = jnp.mean(x, axis=axes, dtype=jnp.float32)
+            mean_sq = jnp.mean(jax.lax.square(x.astype(jnp.float32)),
+                               axis=axes)
+            var = jnp.maximum(mean_sq - jax.lax.square(mean), 0.0)
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1.0 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1.0 - self.momentum) * var)
+        a = scale * jax.lax.rsqrt(var + self.epsilon)
+        b = bias - mean * a
+        return x.astype(self.dtype) * a.astype(self.dtype) + b.astype(
+            self.dtype)
+
+
+class TokenLayerNorm(nn.Module):
+    """LayerNorm over the trailing (channel) axis with compute-dtype traffic,
+    checkpoint-compatible with flax ``nn.LayerNorm`` (params scale/bias of
+    shape (C,), default epsilon 1e-6).
+
+    Same motivation as :class:`BatchNorm`: flax's LayerNorm promotes the
+    activation to fp32 (an 84 MB copy per transformer-block norm at flagship
+    shapes); here only the per-token statistics are fp32.
+    """
+
+    epsilon: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
+        mean_sq = jnp.mean(jax.lax.square(x.astype(jnp.float32)), axis=-1,
+                           keepdims=True)
+        var = jnp.maximum(mean_sq - jax.lax.square(mean), 0.0)
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        a = (inv * scale).astype(self.dtype)
+        b = (bias - mean * inv * scale).astype(self.dtype)
+        return x.astype(self.dtype) * a + b
+
+
 class LayerNormHWC(nn.Module):
     """LayerNorm over the trailing (H, W, C) axes with (H, W, C)-shaped affine.
 
@@ -214,9 +291,8 @@ class ConvBNAct(nn.Module):
                     padding=padding, use_bias=self.use_bias,
                     feature_group_count=self.feature_group_count,
                     dtype=self.dtype, param_dtype=jnp.float32, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=jnp.float32,
-                         name="bn")(x).astype(self.dtype)
+        x = BatchNorm(use_running_average=not train, momentum=0.9,
+                      epsilon=1e-5, dtype=self.dtype, name="bn")(x)
         if self.activation is not None:
             x = self.activation(x)
         return x

@@ -18,10 +18,26 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from npvp_tpu.nn.layers import ConvBNAct, reflect_pad_2d
+from npvp_tpu.nn.layers import BatchNorm, ConvBNAct, reflect_pad_2d
 from npvp_tpu.nn.upsample import subpixel_conv_transpose_3x3_s2
 
 _XAVIER = nn.initializers.xavier_uniform()
+
+
+class _DenseParams(nn.Module):
+    """{kernel, bias} holder bit-compatible with nn.Dense (xavier kernel as
+    the attention projections use), for fused multi-projection matmuls."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", _XAVIER,
+                            (self.in_features, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return kernel, bias
 
 
 class _ConvTransposeKernel(nn.Module):
@@ -54,27 +70,35 @@ class NonLocalAttention2D(nn.Module):
         attn_dim = C // self.attn_ratio
         value_dim = C // self.value_ratio
         skip = x
-        flat = x.reshape(N, H * W, C)
 
-        dense = lambda feats, name: nn.Dense(
-            feats, kernel_init=_XAVIER, dtype=self.dtype,
-            param_dtype=jnp.float32, name=name)
-        q = dense(attn_dim, "wq")(flat)                      # (N, HW, a)
-        k = dense(attn_dim, "wk")(flat).reshape(N, H, W, attn_dim)
-        v = dense(value_dim, "wv")(flat).reshape(N, H, W, value_dim)
-        # Downsample key/value length to (H/2)*(W/2)
-        k = nn.max_pool(k, (2, 2), strides=(2, 2)).reshape(N, -1, attn_dim)
-        v = nn.max_pool(v, (2, 2), strides=(2, 2)).reshape(N, -1, value_dim)
+        # Stay in NHWC end-to-end: the (N, H·W, C) flattening the reference
+        # uses forced ~500 MB of layout copies per batch between the
+        # surrounding convs and the matmuls (tools/hlo_probe.py); einsums on
+        # the 4D tensors express the same math with no materialized reshape.
+        # q/k/v also project in ONE matmul over concatenated kernels (the
+        # activations are read from HBM once) — identical parameters.
+        wq, bq = _DenseParams(C, attn_dim, name="wq")()
+        wk, bk = _DenseParams(C, attn_dim, name="wk")()
+        wv, bv = _DenseParams(C, value_dim, name="wv")()
+        w3 = jnp.concatenate([wq, wk, wv], axis=-1).astype(self.dtype)
+        b3 = jnp.concatenate([bq, bk, bv]).astype(self.dtype)
+        qkv = x.astype(self.dtype) @ w3 + b3
+        q = qkv[..., :attn_dim]                                # (N, H, W, a)
+        k = qkv[..., attn_dim:2 * attn_dim]
+        v = qkv[..., 2 * attn_dim:]
+        # Downsample key/value grid to (H/2, W/2)
+        k = nn.max_pool(k, (2, 2), strides=(2, 2))
+        v = nn.max_pool(v, (2, 2), strides=(2, 2))
 
-        logits = jnp.einsum("nqc,nkc->nqk", q, k,
+        logits = jnp.einsum("nhwa,nija->nhwij", q, k,
                             preferred_element_type=jnp.float32)
-        weights = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-        out = jnp.einsum("nqk,nkc->nqc", weights, v)
-        out = dense(C, "out_proj")(out).reshape(N, H, W, C)
+        weights = jax.nn.softmax(logits, axis=(-2, -1)).astype(x.dtype)
+        out = jnp.einsum("nhwij,nijv->nhwv", weights, v)
+        out = nn.Dense(C, kernel_init=_XAVIER, dtype=self.dtype,
+                       param_dtype=jnp.float32, name="out_proj")(out)
 
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           epsilon=1e-5, dtype=jnp.float32,
-                           name="bn")(out).astype(x.dtype)
+        out = BatchNorm(use_running_average=not train, momentum=0.9,
+                        epsilon=1e-5, dtype=self.dtype, name="bn")(out)
         out = nn.relu(out)
         gamma = self.param("gamma", nn.initializers.zeros, ())
         return skip + gamma.astype(x.dtype) * out
@@ -105,9 +129,8 @@ class NonLocalAttention1D(nn.Module):
         weights = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
         out = dense(C, "out_proj")(jnp.einsum("bts,bsc->btc", weights, v))
         # reference applies BatchNorm1d over (B, C, T)
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           epsilon=1e-5, dtype=jnp.float32,
-                           name="bn")(out).astype(x.dtype)
+        out = BatchNorm(use_running_average=not train, momentum=0.9,
+                        epsilon=1e-5, dtype=self.dtype, name="bn")(out)
         out = nn.relu(out)
         gamma = self.param("gamma", nn.initializers.zeros, ())
         return x + gamma.astype(x.dtype) * out
@@ -136,9 +159,9 @@ class Factorized3DConvAttn(nn.Module):
             conv = nn.Conv(C, (3,), padding="SAME", use_bias=True,
                            dtype=self.dtype, param_dtype=jnp.float32,
                            name="temporal_conv")(xt)
-            conv = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                epsilon=1e-5, dtype=jnp.float32,
-                                name="temporal_bn")(conv).astype(x.dtype)
+            conv = BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype,
+                             name="temporal_bn")(conv)
             xt = nn.relu(conv) + xt
             xt = NonLocalAttention1D(dtype=self.dtype, name="attn1d")(
                 xt, train=train)
@@ -245,9 +268,9 @@ class ResnetDecoder(nn.Module):
                     feats, (3, 3), strides=(2, 2), padding=((1, 2), (1, 2)),
                     use_bias=False, transpose_kernel=True, dtype=self.dtype,
                     param_dtype=jnp.float32, name=f"up{i}_conv")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=jnp.float32,
-                             name=f"up{i}_bn")(x).astype(self.dtype)
+            x = BatchNorm(use_running_average=not train, momentum=0.9,
+                          epsilon=1e-5, dtype=self.dtype,
+                          name=f"up{i}_bn")(x)
             x = nn.relu(x)
         x = reflect_pad_2d(x, 3)
         x = nn.Conv(self.out_channels, (7, 7), padding="VALID", use_bias=True,

@@ -27,6 +27,7 @@ import numpy as np
 from flax import linen as nn
 
 from npvp_tpu.nn.layers import (DropPath, LayerNormHWC, MultiHeadAttention,
+                                TokenLayerNorm,
                                 scaled_dot_product_attention)
 from npvp_tpu.nn.neural_process import pos_feat_fuse
 from npvp_tpu.nn.quant import QuantDense
@@ -482,8 +483,7 @@ class VidHRFormerBlockEnc(nn.Module):
     @nn.compact
     def __call__(self, x, pos_beta, pos_gamma, temporal_allow=None,
                  deterministic=True):
-        ln = lambda name: nn.LayerNorm(dtype=self.dtype,
-                                       param_dtype=jnp.float32, name=name)
+        ln = lambda name: TokenLayerNorm(dtype=self.dtype, name=name)
         dp = DropPath(self.drop_path)
         af = self.affine_posfuse
 
@@ -553,7 +553,10 @@ class VidHRFormerEncoder(nn.Module):
     @nn.compact
     def __call__(self, x, pos_beta, pos_gamma, temporal_allow=None,
                  deterministic=True):
+        from npvp_tpu.core.mesh import sp_shard
+
         for i in range(self.num_layers):
+            x = sp_shard(x)
             x = VidHRFormerBlockEnc(
                 self.embed_dim, self.num_heads, self.window_size,
                 self.dropout, self.drop_path, self.ffn_hidden_ratio,
@@ -587,8 +590,7 @@ class VidHRFormerBlockDecNAR(nn.Module):
                  self_allow=None, cross_allow=None, deterministic=True):
         mem_beta, mem_gamma = mem_pos
         tgt_beta, tgt_gamma = tgt_pos
-        ln = lambda name: nn.LayerNorm(dtype=self.dtype,
-                                       param_dtype=jnp.float32, name=name)
+        ln = lambda name: TokenLayerNorm(dtype=self.dtype, name=name)
         dp = DropPath(self.drop_path)
         drop = lambda y: nn.Dropout(self.dropout,
                                     deterministic=deterministic)(y)
@@ -686,10 +688,14 @@ class VidHRFormerDecoderNAR(nn.Module):
                  cross_allow=None, deterministic=True):
         # query_evt is (N, 1, H, W, C) — broadcast across the TP target
         # times (derived from the target coordinate grid)
+        from npvp_tpu.core.mesh import sp_shard
+
         N, _, H, W, C = query_evt.shape
         TP = tgt_pos[0].shape[0] // (H * W)
         tgt = jnp.zeros((N, TP, H, W, C), query_evt.dtype)
+        memory = sp_shard(memory)
         for i in range(self.num_layers):
+            tgt = sp_shard(tgt)
             tgt = VidHRFormerBlockDecNAR(
                 self.embed_dim, self.num_heads, self.window_size,
                 self.dropout, self.drop_path, self.ffn_hidden_ratio,
