@@ -15,6 +15,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from npvp_tpu.nn.layers import BatchNorm
+
 
 class PatchDiscriminator(nn.Module):
     """70×70 PatchGAN over (N, H, W, C) frames → (N, h', w', 1) logits."""
@@ -37,18 +39,16 @@ class PatchDiscriminator(nn.Module):
                         padding=((1, 1), (1, 1)), use_bias=False,
                         dtype=self.dtype, param_dtype=jnp.float32,
                         name=f"conv{n}")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             dtype=jnp.float32,
-                             name=f"bn{n}")(x).astype(self.dtype)
+            x = BatchNorm(use_running_average=not train, momentum=0.9,
+                          dtype=self.dtype, name=f"bn{n}")(x)
             x = lrelu(x)
         nf = min(2 ** self.n_layers, 8)
         x = nn.Conv(self.ndf * nf, (4, 4), strides=(1, 1),
                     padding=((1, 1), (1, 1)), use_bias=False,
                     dtype=self.dtype, param_dtype=jnp.float32,
                     name=f"conv{self.n_layers}")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         dtype=jnp.float32,
-                         name=f"bn{self.n_layers}")(x).astype(self.dtype)
+        x = BatchNorm(use_running_average=not train, momentum=0.9,
+                      dtype=self.dtype, name=f"bn{self.n_layers}")(x)
         x = lrelu(x)
         return nn.Conv(1, (4, 4), padding=((1, 1), (1, 1)), dtype=self.dtype,
                        param_dtype=jnp.float32, name="head")(x)
