@@ -35,6 +35,9 @@ class EnvConfig:
     param_dtype: str = "float32"
     profile_dir: Optional[str] = None  # jax.profiler trace output
     debug_nans: bool = False  # survey §5.2: jax_debug_nans sanitizer mode
+    # shard activations' spatial H axis over the model mesh axis (Megatron-SP
+    # layout; see core.mesh.sequence_parallel). Needs mesh_shape model > 1.
+    sequence_parallel: bool = False
 
 
 @dataclasses.dataclass

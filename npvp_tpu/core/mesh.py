@@ -164,16 +164,26 @@ def sequence_parallel(mesh: Optional[Mesh]):
         _SP_MESH = prev
 
 
+def enable_sequence_parallel(mesh: Optional[Mesh]) -> None:
+    """Process-lifetime form of :func:`sequence_parallel` (trainers call this
+    from ``train.common.setup`` when ``Env.sequence_parallel`` is set)."""
+    global _SP_MESH
+    _SP_MESH = mesh
+
+
 def sp_shard(x):
     """Constrain a (N, T, H, W, ...) activation to batch-over-data,
-    H-over-model. No-op when no :func:`sequence_parallel` context is active,
-    the model axis is trivial, or H does not divide evenly."""
+    H-over-model. No-op when no :func:`sequence_parallel` context is active
+    or the model axis is trivial; each axis is constrained only when its size
+    divides its mesh axis (init-time traces use batch 1, for example)."""
     mesh = _SP_MESH
     if mesh is None or mesh.shape.get(MODEL_AXIS, 1) == 1 or x.ndim < 3:
         return x
-    if x.shape[2] % mesh.shape[MODEL_AXIS]:
+    data = DATA_AXIS if x.shape[0] % mesh.shape[DATA_AXIS] == 0 else None
+    model = MODEL_AXIS if x.shape[2] % mesh.shape[MODEL_AXIS] == 0 else None
+    if model is None:
         return x
-    spec = P(DATA_AXIS, None, MODEL_AXIS)
+    spec = P(data, None, model)
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 

@@ -10,7 +10,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from npvp_tpu.core.config import Config, load_config
-from npvp_tpu.core.mesh import make_mesh
+from npvp_tpu.core.mesh import enable_sequence_parallel, make_mesh
 from npvp_tpu.core.metrics import is_main_process
 
 
@@ -56,6 +56,10 @@ def setup(cfg: Config):
     mesh = make_mesh(data=mesh_axes.get("data", -1),
                      model=mesh_axes.get("model", 1),
                      batch_size=cfg.Dataset.batch_size)
+    if cfg.Env.sequence_parallel:
+        # spatial-H activation sharding over the model axis (survey §2.5
+        # "shard N·H·W"); trace-time — must be enabled before the first jit
+        enable_sequence_parallel(mesh)
     return mesh
 
 
