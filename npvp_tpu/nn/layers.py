@@ -178,6 +178,12 @@ class BatchNorm(nn.Module):
             self.dtype)
 
 
+# A/B instrumentation (tools/ab_train.py): trace-time switch selecting the
+# flax-equivalent fp32-materializing norm math, to isolate the cost of the
+# bf16-traffic formulations in fwd/bwd. Not a user-facing option.
+LEGACY_NORMS = False
+
+
 class TokenLayerNorm(nn.Module):
     """LayerNorm over the trailing (channel) axis with compute-dtype traffic,
     checkpoint-compatible with flax ``nn.LayerNorm`` (params scale/bias of
@@ -201,6 +207,9 @@ class TokenLayerNorm(nn.Module):
                            keepdims=True)
         var = jnp.maximum(mean_sq - jax.lax.square(mean), 0.0)
         inv = jax.lax.rsqrt(var + self.epsilon)
+        if LEGACY_NORMS:
+            y = (x.astype(jnp.float32) - mean) * inv * scale + bias
+            return y.astype(self.dtype)
         a = (inv * scale).astype(self.dtype)
         b = (bias - mean * inv * scale).astype(self.dtype)
         return x.astype(self.dtype) * a + b

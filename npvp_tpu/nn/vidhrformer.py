@@ -485,7 +485,12 @@ class VidHRFormerBlockEnc(nn.Module):
                  deterministic=True):
         ln = lambda name: TokenLayerNorm(dtype=self.dtype, name=name)
         dp = DropPath(self.drop_path)
-        af = self.affine_posfuse
+        # the affine-fused path wins at inference (fewer HBM passes) but its
+        # BACKWARD measured +10.7% on the train step (tools/ab_train.py,
+        # interleaved medians 254.7 vs 230.1 ms) — so it serves only
+        # non-differentiated calls; training takes the pre-fused path.
+        # Both paths are equality-tested over one parameter set.
+        af = self.affine_posfuse and deterministic
 
         x1 = ln("norm1")(x)
         swa = SpatialWindowAttention(
@@ -594,7 +599,12 @@ class VidHRFormerBlockDecNAR(nn.Module):
         dp = DropPath(self.drop_path)
         drop = lambda y: nn.Dropout(self.dropout,
                                     deterministic=deterministic)(y)
-        af = self.affine_posfuse
+        # the affine-fused path wins at inference (fewer HBM passes) but its
+        # BACKWARD measured +10.7% on the train step (tools/ab_train.py,
+        # interleaved medians 254.7 vs 230.1 ms) — so it serves only
+        # non-differentiated calls; training takes the pre-fused path.
+        # Both paths are equality-tested over one parameter set.
+        af = self.affine_posfuse and deterministic
 
         # window self-attention with the event query injected into q/k
         tgt2 = ln("norm1")(tgt)
