@@ -139,6 +139,10 @@ class PredictorConfig:
     # Training always uses "xla". A "pallas" mode existed and was deleted
     # after losing its A/B (npvp_tpu/kernels/__init__.py).
     exec_mode: str = "xla"
+    # TPU-native addition: rematerialize each transformer block in the
+    # backward pass (jax.checkpoint) — trades ~1/3 more FLOPs for O(layers)
+    # less activation HBM, enabling larger batches/resolutions per chip.
+    remat: bool = False
 
 
 @dataclasses.dataclass

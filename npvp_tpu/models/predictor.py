@@ -64,6 +64,7 @@ class NPPredictor(nn.Module):
     dim_feedforward: int = 1024
     exec_mode: str = "xla"
     affine_posfuse: Optional[bool] = None  # None = auto by fuse/norm type
+    remat: bool = False  # rematerialize transformer blocks under grad
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -81,7 +82,7 @@ class NPPredictor(nn.Module):
                 self.evt_former_num_layers, self.embed_dim, self.num_heads,
                 self.window_size, self.dropout, self.drop_path,
                 self.ffn_hidden_ratio, self.dim_feedforward, self.norm_type,
-                affine_posfuse=affine,
+                affine_posfuse=affine, remat=self.remat,
                 exec_mode=self.exec_mode, dtype=self.dtype)
         self.evt_posterior = EventEncoder(
             self.evt_hidden_channels, self.evt_n_layers,
@@ -94,7 +95,7 @@ class NPPredictor(nn.Module):
             self.transformer_layers, self.embed_dim, self.num_heads,
             self.window_size, self.dropout, self.drop_path,
             self.ffn_hidden_ratio, self.dim_feedforward, self.norm_type,
-            affine_posfuse=affine,
+            affine_posfuse=affine, remat=self.remat,
             exec_mode=self.exec_mode, dtype=self.dtype)
         # One LayerNorm instance shared between the EVT-Former output and the
         # decoder output — replicates the reference's shared default-arg norm
@@ -225,5 +226,6 @@ def build_predictor(cfg, dtype=jnp.float32,
         ffn_hidden_ratio=p.Spatial_FFN_hidden_ratio,
         dim_feedforward=p.dim_feedforward,
         exec_mode=exec_mode if exec_mode is not None else p.exec_mode,
+        remat=p.remat,
         dtype=dtype,
     )

@@ -552,6 +552,7 @@ class VidHRFormerEncoder(nn.Module):
     dim_feedforward: int = 1024
     norm_type: str = "layer"
     affine_posfuse: bool = False
+    remat: bool = False  # rematerialize each block under grad (HBM for FLOPs)
     exec_mode: str = "xla"
     dtype: jnp.dtype = jnp.float32
 
@@ -560,9 +561,13 @@ class VidHRFormerEncoder(nn.Module):
                  deterministic=True):
         from npvp_tpu.core.mesh import sp_shard
 
+        # static_argnums counts self as 0: deterministic is arg 5
+        block_cls = (nn.remat(VidHRFormerBlockEnc,
+                              static_argnums=(5,))
+                     if self.remat else VidHRFormerBlockEnc)
         for i in range(self.num_layers):
             x = sp_shard(x)
-            x = VidHRFormerBlockEnc(
+            x = block_cls(
                 self.embed_dim, self.num_heads, self.window_size,
                 self.dropout, self.drop_path, self.ffn_hidden_ratio,
                 self.dim_feedforward, self.norm_type,
@@ -690,6 +695,7 @@ class VidHRFormerDecoderNAR(nn.Module):
     dim_feedforward: int = 1024
     norm_type: str = "layer"
     affine_posfuse: bool = False
+    remat: bool = False  # rematerialize each block under grad (HBM for FLOPs)
     exec_mode: str = "xla"
     dtype: jnp.dtype = jnp.float32
 
@@ -704,9 +710,13 @@ class VidHRFormerDecoderNAR(nn.Module):
         TP = tgt_pos[0].shape[0] // (H * W)
         tgt = jnp.zeros((N, TP, H, W, C), query_evt.dtype)
         memory = sp_shard(memory)
+        # static_argnums counts self as 0: deterministic is arg 8
+        block_cls = (nn.remat(VidHRFormerBlockDecNAR,
+                              static_argnums=(8,))
+                     if self.remat else VidHRFormerBlockDecNAR)
         for i in range(self.num_layers):
             tgt = sp_shard(tgt)
-            tgt = VidHRFormerBlockDecNAR(
+            tgt = block_cls(
                 self.embed_dim, self.num_heads, self.window_size,
                 self.dropout, self.drop_path, self.ffn_hidden_ratio,
                 self.dim_feedforward, self.norm_type,

@@ -192,3 +192,29 @@ def test_sp_forward_matches_single_device():
     with sequence_parallel(mesh):
         got = np.asarray(fn(sharded_vars, shard_batch(mesh, obs)))
     np.testing.assert_allclose(got, expect, atol=2e-5)
+
+
+def test_remat_gradients_match():
+    """Predictor.remat (per-block jax.checkpoint) must not change the loss or
+    its gradients — only the backward-pass memory/FLOP trade."""
+    model, variables, obs, oc, tc = _tiny_model_and_inputs()
+    target = jax.random.uniform(jax.random.key(5), (8, 2, 8, 8, 16))
+    rngs = {"latent": jax.random.key(7), "dropout": jax.random.key(8),
+            "droppath": jax.random.key(9)}
+
+    def loss_fn(mdl, params):
+        out = mdl.apply({"params": params,
+                         "batch_stats": variables["batch_stats"]},
+                        obs, oc, tc, 2, target_feats_gt=None, train=True,
+                        rngs=rngs, mutable=["batch_stats"])[0].pred_features
+        return jnp.mean(jnp.abs(out - target))
+
+    l0, g0 = jax.value_and_grad(lambda p: loss_fn(model, p))(
+        variables["params"])
+    l1, g1 = jax.value_and_grad(
+        lambda p: loss_fn(model.clone(remat=True), p))(variables["params"])
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5,
+                                   rtol=1e-4)
