@@ -115,16 +115,18 @@ def bench_inference():
     }))
 
 
-def bench_train():
+def flagship_train_fixture(batch: int = 8):
+    """Flagship stage-2 training harness (cfg, mesh, frozen AE, sharded
+    state, raw batch dict) — shared by :func:`bench_train` and the A/B probe
+    ``tools/ab_train.py`` so the two cannot drift apart."""
     from __graft_entry__ import _flagship_config
     from npvp_tpu.core.mesh import make_mesh, shard_state
     from npvp_tpu.models.predictor import build_predictor
     from npvp_tpu.train.stage1_ae import build_ae
-    from npvp_tpu.train.stage2_predictor import (init_predictor_state,
-                                                 make_steps)
+    from npvp_tpu.train.stage2_predictor import init_predictor_state
 
     cfg = _flagship_config()
-    batch = cfg.Dataset.batch_size = 8
+    cfg.Dataset.batch_size = batch
     mesh = make_mesh(data=1, model=1, devices=jax.devices()[:1])
     dtype = jnp.bfloat16
     ae = build_ae(cfg, dtype)
@@ -132,20 +134,29 @@ def bench_train():
     ae_vars = ae.init(jax.random.key(0),
                       jnp.zeros((1, 2, d.img_size, d.img_size,
                                  d.img_channels)))
-    predictor = build_predictor(cfg, dtype)  # training = "xla" mode
-    state = init_predictor_state(cfg, predictor, steps_per_epoch=100)
+    state = init_predictor_state(cfg, build_predictor(cfg, dtype),
+                                 steps_per_epoch=100)
     state = shard_state(mesh, state)
-    train_step, _, place, _, _ = make_steps(cfg, predictor, ae, ae_vars,
-                                            mesh, mode="rand_context")
     T = cfg.Predictor.max_T
-    rng_np = np.random.default_rng(0)
-    batch_data = place({
-        "clip": rng_np.standard_normal(
-            (batch, T, d.img_size, d.img_size, d.img_channels),
-            np.float32),
+    raw_batch = {
+        "clip": np.random.default_rng(0).standard_normal(
+            (batch, T, d.img_size, d.img_size, d.img_channels), np.float32),
         "obs_mask": np.arange(T) < 10,
         "tgt_mask": np.arange(T) >= 10,
-    })
+    }
+    return cfg, mesh, ae, ae_vars, state, raw_batch
+
+
+def bench_train():
+    from npvp_tpu.models.predictor import build_predictor
+    from npvp_tpu.train.stage2_predictor import make_steps
+
+    cfg, mesh, ae, ae_vars, state, raw_batch = flagship_train_fixture()
+    predictor = build_predictor(cfg, jnp.bfloat16)  # training = "xla" mode
+    train_step, _, place, _, _ = make_steps(cfg, predictor, ae, ae_vars,
+                                            mesh, mode="rand_context")
+    batch = cfg.Dataset.batch_size
+    batch_data = place(raw_batch)
     key = jax.random.key(1)
     state, metrics = train_step(state, batch_data, key)  # compile
     np.asarray(metrics["loss"])

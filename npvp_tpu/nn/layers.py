@@ -108,20 +108,24 @@ class MultiHeadAttention(nn.Module):
             quant=self.quant, dtype=self.dtype)(out)
 
 
-def _dense_general_params(mod: nn.Module, name: str, in_dims, out_dims):
+def _dense_general_params(mod: nn.Module, name: str, in_dims, out_dims,
+                          kernel_init=None):
     """Create {kernel, bias} under submodule ``name`` with shapes/init
-    identical to nn.DenseGeneral (and to QuantDense), so fused-projection
+    identical to nn.DenseGeneral (and to QuantDense) — or, with an explicit
+    ``kernel_init``, to an nn.Dense using that init — so fused-projection
     call sites share the checkpoint layout of unfused ones."""
     from npvp_tpu.nn.quant import _dense_general_kernel_init
+
+    if kernel_init is None:
+        kernel_init = _dense_general_kernel_init(
+            nn.initializers.lecun_normal(), tuple(in_dims), tuple(out_dims))
 
     class _P(nn.Module):
         @nn.compact
         def __call__(self):
-            kernel = self.param(
-                "kernel",
-                _dense_general_kernel_init(nn.initializers.lecun_normal(),
-                                           tuple(in_dims), tuple(out_dims)),
-                tuple(in_dims) + tuple(out_dims), jnp.float32)
+            kernel = self.param("kernel", kernel_init,
+                                tuple(in_dims) + tuple(out_dims),
+                                jnp.float32)
             bias = self.param("bias", nn.initializers.zeros,
                               tuple(out_dims), jnp.float32)
             return kernel, bias

@@ -24,20 +24,13 @@ from npvp_tpu.nn.upsample import subpixel_conv_transpose_3x3_s2
 _XAVIER = nn.initializers.xavier_uniform()
 
 
-class _DenseParams(nn.Module):
+def _dense_params(mod, name: str, in_features: int, features: int):
     """{kernel, bias} holder bit-compatible with nn.Dense (xavier kernel as
     the attention projections use), for fused multi-projection matmuls."""
+    from npvp_tpu.nn.layers import _dense_general_params
 
-    in_features: int
-    features: int
-
-    @nn.compact
-    def __call__(self):
-        kernel = self.param("kernel", _XAVIER,
-                            (self.in_features, self.features), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, (self.features,),
-                          jnp.float32)
-        return kernel, bias
+    return _dense_general_params(mod, name, (in_features,), (features,),
+                                 kernel_init=_XAVIER)
 
 
 class _ConvTransposeKernel(nn.Module):
@@ -77,9 +70,9 @@ class NonLocalAttention2D(nn.Module):
         # the 4D tensors express the same math with no materialized reshape.
         # q/k/v also project in ONE matmul over concatenated kernels (the
         # activations are read from HBM once) — identical parameters.
-        wq, bq = _DenseParams(C, attn_dim, name="wq")()
-        wk, bk = _DenseParams(C, attn_dim, name="wk")()
-        wv, bv = _DenseParams(C, value_dim, name="wv")()
+        wq, bq = _dense_params(self, "wq", C, attn_dim)
+        wk, bk = _dense_params(self, "wk", C, attn_dim)
+        wv, bv = _dense_params(self, "wv", C, value_dim)
         w3 = jnp.concatenate([wq, wk, wv], axis=-1).astype(self.dtype)
         b3 = jnp.concatenate([bq, bk, bv]).astype(self.dtype)
         qkv = x.astype(self.dtype) @ w3 + b3

@@ -1,14 +1,23 @@
 """Interleaved A/B of the stage-2 train step (flagship shapes, batch 8),
 isolating the round-2 training-path changes:
 
-  A = current           (affine-fused attention, bf16-traffic norms)
-  B = legacy norms      (affine-fused attention, fp32-materializing LN)
-  C = affine off        (pre-fused attention,    bf16-traffic norms)
-  D = round-1 config    (pre-fused attention,    fp32-materializing LN)
+  A = current           (bf16-traffic norms; affine gated off under grad)
+  B = legacy norms      (fp32-materializing LN)
+  D = round-1 config    (affine off + fp32-materializing LN)
+
+(The historical variant C — affine-fused attention differentiated — can no
+longer be constructed: the deterministic gate in the blocks decides per
+call. Its measurement is recorded below.)
 
 All variants share one parameter tree (tested equalities), so the steps chain
 on the same donated state. One process, alternating rounds — the only
-measurement form that survives the shared-TPU variance.
+measurement form that survives the shared-TPU variance. The harness
+(config/state/batch) comes from bench.flagship_train_fixture so this probe
+cannot drift from the benchmark it explains.
+
+Measured 2026-08-16 (medians over 6 rounds): affine-in-backward +10.7%
+(254.7 vs 230.1 ms) → affine path now gated to non-differentiated calls;
+legacy vs bf16-traffic norms within noise (253.5 vs 254.7 ms).
 """
 
 import pathlib
@@ -26,33 +35,17 @@ INNER = 4
 
 
 def main():
-    from __graft_entry__ import _flagship_config
+    from bench import flagship_train_fixture
     import npvp_tpu.nn.layers as layers
-    from npvp_tpu.core.mesh import make_mesh, shard_state
     from npvp_tpu.models.predictor import build_predictor
-    from npvp_tpu.train.stage1_ae import build_ae
-    from npvp_tpu.train.stage2_predictor import (init_predictor_state,
-                                                 make_steps)
+    from npvp_tpu.train.stage2_predictor import make_steps
 
-    cfg = _flagship_config()
-    batch = cfg.Dataset.batch_size = 8
-    mesh = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+    cfg, mesh, ae, ae_vars, state, raw_batch = flagship_train_fixture()
     dtype = jnp.bfloat16
-    ae = build_ae(cfg, dtype)
-    d = cfg.Dataset
-    ae_vars = ae.init(jax.random.key(0),
-                      jnp.zeros((1, 2, d.img_size, d.img_size,
-                                 d.img_channels)))
-    state = init_predictor_state(cfg, build_predictor(cfg, dtype),
-                                 steps_per_epoch=100)
-    state = shard_state(mesh, state)
 
-    T = cfg.Predictor.max_T
-    rng_np = np.random.default_rng(0)
     variants = {}
     for name, affine, legacy in (("A:current", None, False),
                                  ("B:legacy-norms", None, True),
-                                 ("C:affine-off", False, False),
                                  ("D:round1", False, True)):
         predictor = build_predictor(cfg, dtype)
         if affine is not None:
@@ -60,13 +53,7 @@ def main():
         layers.LEGACY_NORMS = legacy  # trace-time switch
         step, _, place, _, _ = make_steps(cfg, predictor, ae, ae_vars, mesh,
                                           mode="rand_context")
-        data = place({
-            "clip": rng_np.standard_normal(
-                (batch, T, d.img_size, d.img_size, d.img_channels),
-                np.float32),
-            "obs_mask": np.arange(T) < 10,
-            "tgt_mask": np.arange(T) >= 10,
-        })
+        data = place(raw_batch)
         key = jax.random.key(1)
         t0 = time.perf_counter()
         state, m = step(state, data, key)   # trace+compile under the flag
