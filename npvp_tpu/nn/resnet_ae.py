@@ -19,7 +19,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from npvp_tpu.nn.layers import BatchNorm, ConvBNAct, reflect_pad_2d
-from npvp_tpu.nn.upsample import subpixel_conv_transpose_3x3_s2
+from npvp_tpu.nn.upsample import (subpixel_conv_same,
+                                  subpixel_conv_transpose_3x3_s2)
 
 _XAVIER = nn.initializers.xavier_uniform()
 
@@ -237,6 +238,9 @@ class ResnetDecoder(nn.Module):
     # 3/4-zero-MAC structure suggests. Default stays on ConvTranspose; the
     # option remains for shapes where the GEMM form wins.
     subpixel: bool = False
+    # Sub-pixel (stride-4) form of the 7×7 output head — see
+    # upsample.subpixel_conv_same. Same parameters; A/B-able.
+    s2d_head: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -266,8 +270,21 @@ class ResnetDecoder(nn.Module):
                           name=f"up{i}_bn")(x)
             x = nn.relu(x)
         x = reflect_pad_2d(x, 3)
-        x = nn.Conv(self.out_channels, (7, 7), padding="VALID", use_bias=True,
-                    dtype=self.dtype, param_dtype=jnp.float32, name="head")(x)
+        if self.s2d_head and x.shape[1] % 4 == x.shape[2] % 4 == 2:
+            # sub-pixel form of the 7×7 head: with C_out=img_channels (1-3)
+            # the natural conv maps ~1 output lane of 128 on the MXU
+            # (measured 3.9 ms for 16.4 GFLOP); grouping 4×4 output blocks
+            # into channels runs it as one stride-4 conv — same parameters
+            from npvp_tpu.nn.vidhrformer import _ConvParams
+
+            kernel, bias = _ConvParams(
+                (7, 7, x.shape[-1], self.out_channels), name="head")()
+            x = subpixel_conv_same(x, kernel.astype(self.dtype),
+                                   bias.astype(self.dtype), factor=4)
+        else:
+            x = nn.Conv(self.out_channels, (7, 7), padding="VALID",
+                        use_bias=True, dtype=self.dtype,
+                        param_dtype=jnp.float32, name="head")(x)
         if self.out_layer == "Tanh":
             x = jnp.tanh(x)
         elif self.out_layer == "Sigmoid":

@@ -25,6 +25,52 @@ import jax
 import jax.numpy as jnp
 
 
+def subpixel_conv_same(x: jnp.ndarray, kernel: jnp.ndarray,
+                       bias: jnp.ndarray = None, factor: int = 4
+                       ) -> jnp.ndarray:
+    """Exact K×K stride-1 VALID convolution computed as ONE stride-``factor``
+    convolution producing factor² sub-pixel output channels, followed by
+    depth-to-space.
+
+    Motivation (AE 7×7 tanh head, reference ResNetAutoEncoder.py:195-204):
+    with C_out=1 the natural conv runs at ~2% MXU utilization (measured
+    3.9 ms for 16.4 GFLOP on v5e — the output channel dim maps to lanes).
+    Grouping each factor×factor block of output pixels into channels raises
+    the lane count factor²×, at the cost of a zero-padded kernel (density
+    K² / (K + factor - 1)²). Exact same function and parameters.
+
+    x: (B, Hp, Wp, I) — the already-padded input (out = Hp - K + 1 must be
+    divisible by ``factor``); kernel: (K, K, I, O); returns
+    (B, Hp-K+1, Wp-K+1, O).
+    """
+    B, Hp, Wp, I = x.shape
+    K = kernel.shape[0]
+    O = kernel.shape[-1]
+    f = factor
+    Ho, Wo = Hp - K + 1, Wp - K + 1
+    assert Ho % f == 0 and Wo % f == 0, (Ho, Wo, f)
+    Kf = K + f - 1  # enlarged kernel window covering all f phases
+    # big kernel: class (c1, c2) at tap (a, b) = kernel[a-c1, b-c2]
+    classes = [jnp.pad(kernel, ((c1, f - 1 - c1), (c2, f - 1 - c2),
+                                (0, 0), (0, 0)))
+               for c1 in range(f) for c2 in range(f)]
+    big = jnp.concatenate(classes, axis=-1)       # (Kf, Kf, I, f²·O)
+    # input rows touched: f·(Ho/f - 1) + Kf - 1 = Ho + K + f - 3... pad so the
+    # strided window grid fits; padded rows only meet zero kernel entries
+    need_h = f * (Ho // f - 1) + Kf
+    need_w = f * (Wo // f - 1) + Kf
+    xp = jnp.pad(x, ((0, 0), (0, max(0, need_h - Hp)),
+                     (0, max(0, need_w - Wp)), (0, 0)))
+    y = jax.lax.conv_general_dilated(
+        xp, big.astype(x.dtype), window_strides=(f, f), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))   # (B, Ho/f, Wo/f, f²·O)
+    if bias is not None:
+        y = y + jnp.tile(bias, f * f).astype(y.dtype)
+    y = y.reshape(B, Ho // f, Wo // f, f, f, O)
+    y = y.transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(B, Ho, Wo, O)
+
+
 def subpixel_conv_transpose_3x3_s2(x: jnp.ndarray, kernel: jnp.ndarray
                                    ) -> jnp.ndarray:
     """x: (B, H, W, I); kernel: (3, 3, O, I) — the flax
