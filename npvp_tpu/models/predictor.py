@@ -101,7 +101,8 @@ class NPPredictor(nn.Module):
         # decoder output — replicates the reference's shared default-arg norm
         # (models/Predictor.py:270: the same nn.LayerNorm(512) object is passed
         # to both stacks).
-        self.final_norm = TokenLayerNorm(dtype=self.dtype)
+        self.final_norm = TokenLayerNorm(epsilon=1e-5,
+                                         dtype=self.dtype)
 
     def event_coding(self, feats, pos_beta, pos_gamma, mask=None,
                      deterministic=True):

@@ -483,7 +483,9 @@ class VidHRFormerBlockEnc(nn.Module):
     @nn.compact
     def __call__(self, x, pos_beta, pos_gamma, temporal_allow=None,
                  deterministic=True):
-        ln = lambda name: TokenLayerNorm(dtype=self.dtype, name=name)
+        # torch nn.LayerNorm default eps (reference VidHRFormer.py:65-77)
+        ln = lambda name: TokenLayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                         name=name)
         dp = DropPath(self.drop_path)
         # the affine-fused path wins at inference (fewer HBM passes) but its
         # BACKWARD measured +10.7% on the train step (tools/ab_train.py,
@@ -600,7 +602,9 @@ class VidHRFormerBlockDecNAR(nn.Module):
                  self_allow=None, cross_allow=None, deterministic=True):
         mem_beta, mem_gamma = mem_pos
         tgt_beta, tgt_gamma = tgt_pos
-        ln = lambda name: TokenLayerNorm(dtype=self.dtype, name=name)
+        # torch nn.LayerNorm default eps (reference VidHRFormer.py:65-77)
+        ln = lambda name: TokenLayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                         name=name)
         dp = DropPath(self.drop_path)
         drop = lambda y: nn.Dropout(self.dropout,
                                     deterministic=deterministic)(y)
