@@ -90,6 +90,40 @@ class VideoPredictor:
              "latent": jax.random.key(seed + 2)}, feats, oc, oc, 2)
         return cls(cfg, ae, ae_vars, predictor, pred_vars)
 
+    def shard(self, mesh) -> "VideoPredictor":
+        """Place the model on a multi-chip mesh for serving: parameters get
+        the tensor-parallel layout (attention heads / FFN hidden over the
+        ``model`` axis, everything else replicated) and subsequent
+        ``predict*`` calls shard their batch over the ``data`` axis. The
+        same jitted programs serve single- and multi-chip — jit follows the
+        argument placements.
+
+        Returns self (placement is in-place on the variable pytrees)."""
+        from npvp_tpu.core.mesh import replicated, shard_params
+
+        self.ae_vars = {
+            "params": jax.device_put(self.ae_vars["params"],
+                                     replicated(mesh)),
+            "batch_stats": jax.device_put(self.ae_vars["batch_stats"],
+                                          replicated(mesh)),
+        }
+        self.predictor_vars = {
+            "params": shard_params(mesh, self.predictor_vars["params"]),
+            "batch_stats": jax.device_put(
+                self.predictor_vars["batch_stats"], replicated(mesh)),
+        }
+        self._mesh = mesh
+        self._compiled = {}
+        return self
+
+    def _place_frames(self, frames) -> jnp.ndarray:
+        mesh = getattr(self, "_mesh", None)
+        if mesh is None:
+            return jnp.asarray(frames)
+        from npvp_tpu.core.mesh import shard_batch
+
+        return shard_batch(mesh, {"frames": np.asarray(frames)})["frames"]
+
     # -- core ---------------------------------------------------------------
     def _pipeline(self, num_target: int):
         """Build + cache the jitted frames→frames program for a TP size."""
@@ -127,8 +161,8 @@ class VideoPredictor:
         fn = self._pipeline(len(tp_list))
         rng = rng if rng is not None else jax.random.key(0)
         return fn(self.ae_vars, self.predictor_vars,
-                  jnp.asarray(observed_frames), self._coords(to_list),
-                  self._coords(tp_list), rng)
+                  self._place_frames(observed_frames),
+                  self._coords(to_list), self._coords(tp_list), rng)
 
     # -- the five tasks ------------------------------------------------------
     def vfp(self, past_frames, num_future: int, rng=None):

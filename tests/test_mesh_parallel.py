@@ -220,3 +220,35 @@ def test_remat_gradients_match():
                     jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5,
                                    rtol=1e-4)
+
+
+def test_video_predictor_shard_matches_single_device():
+    """VideoPredictor.shard(mesh) (multi-chip serving placement) reproduces
+    the single-device prediction: TP params + data-sharded batch through the
+    same jitted pipeline."""
+    from npvp_tpu.core.config import Config
+    from npvp_tpu.models.inference import VideoPredictor
+
+    cfg = Config()
+    cfg.Dataset.img_size = 32
+    cfg.Dataset.num_past_frames = 2
+    cfg.Dataset.num_future_frames = 2
+    cfg.AE.ngf = 8
+    cfg.AE.n_downsampling = 2
+    cfg.AE.num_res_blocks = 1
+    cfg.Predictor.max_T = 4
+    cfg.Predictor.embed_dim = 32
+    cfg.Predictor.num_heads = 4
+    cfg.Predictor.transformer_layers = 1
+    cfg.Predictor.evt_former_num_layers = 1
+    cfg.Predictor.evt_hidden_channels = 8
+    cfg.Predictor.dim_feedforward = 32
+    cfg.validate()
+    vp = VideoPredictor.from_random_init(cfg, dtype=jnp.float32)
+    frames = np.random.default_rng(0).standard_normal((4, 2, 32, 32, 1),
+                                                      np.float32)
+    expect = np.asarray(vp.vfp(frames, 2))
+
+    vp.shard(make_mesh(data=2, model=2))
+    got = np.asarray(vp.vfp(frames, 2))
+    np.testing.assert_allclose(got, expect, atol=2e-5)
