@@ -73,9 +73,8 @@ def _task_split(task: str, cfg: Config, seed: int = 0):
 
 
 def _per_seq_metric(metric, pred_t, gt_t):
-    if metric is psnr or metric is ssim:
-        return np.asarray(metric(pred_t, gt_t, mean_flag=False))
-    return np.asarray(mse_score(pred_t, gt_t, mean_flag=False))
+    # psnr/ssim/mse_score share the mean_flag=False per-sequence signature
+    return np.asarray(metric(pred_t, gt_t, mean_flag=False))
 
 
 def evaluate(cfg: Config, fvd_i3d_ckpt: str | None = None,
@@ -145,13 +144,13 @@ def evaluate(cfg: Config, fvd_i3d_ckpt: str | None = None,
                 # test set in host RAM otherwise
                 first_sample_preds.append(pred)
                 gts.append(gt)
-            per = {}
-            for name, fn in metric_fns.items():
-                vals = np.stack([
-                    _per_seq_metric(fn, jnp.asarray(dm.renorm(pred[:, t])),
-                                    jnp.asarray(dm.renorm(gt[:, t])))
-                    for t in range(T_m)], axis=1)
-                per[name] = vals
+            # renorm + upload each frame slice ONCE, shared by all metrics
+            frames_t = [(jnp.asarray(dm.renorm(pred[:, t])),
+                         jnp.asarray(dm.renorm(gt[:, t])))
+                        for t in range(T_m)]
+            per = {name: np.stack([_per_seq_metric(fn, pt, gt_t)
+                                   for pt, gt_t in frames_t], axis=1)
+                   for name, fn in metric_fns.items()}
             scores.append(per)
         n = scores[0]["PSNR"].shape[0]
         for name in metric_fns:

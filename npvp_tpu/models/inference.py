@@ -116,13 +116,22 @@ class VideoPredictor:
         self._compiled = {}
         return self
 
-    def _place_frames(self, frames) -> jnp.ndarray:
+    def _place_frames(self, frames, batch_axis: int = 0) -> jnp.ndarray:
+        """Shard ``batch_axis`` over the data axis after :meth:`shard`
+        (streams carry their batch at axis 1), no-op otherwise."""
         mesh = getattr(self, "_mesh", None)
         if mesh is None:
             return jnp.asarray(frames)
-        from npvp_tpu.core.mesh import shard_batch
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-        return shard_batch(mesh, {"frames": np.asarray(frames)})["frames"]
+        from npvp_tpu.core.mesh import DATA_AXIS
+
+        frames = np.asarray(frames)
+        if frames.shape[batch_axis] % mesh.shape[DATA_AXIS]:
+            return jnp.asarray(frames)  # indivisible batch: replicate
+        spec = [None] * frames.ndim
+        spec[batch_axis] = DATA_AXIS
+        return jax.device_put(frames, NamedSharding(mesh, P(*spec)))
 
     # -- core ---------------------------------------------------------------
     def _pipeline(self, num_target: int):
@@ -282,6 +291,7 @@ class VideoPredictor:
             self._compiled[key] = jax.jit(run)
         rng = rng if rng is not None else jax.random.key(0)
         return self._compiled[key](self.ae_vars, self.predictor_vars,
-                                   jnp.asarray(frames_stream),
+                                   self._place_frames(frames_stream,
+                                                      batch_axis=1),
                                    self._coords(to_list),
                                    self._coords(tp_list), rng)

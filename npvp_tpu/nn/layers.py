@@ -133,6 +133,20 @@ def _dense_general_params(mod: nn.Module, name: str, in_dims, out_dims,
     return _P(name=name)()
 
 
+def fp32_moments(x: jnp.ndarray, axes, keepdims: bool = True):
+    """(mean, var) over ``axes`` accumulated in fp32 while reading ``x`` in
+    its compute dtype (the convert fuses into the reduction — no fp32
+    materialization of the tensor). Shared by every norm/affine-stat site
+    (BatchNorm, TokenLayerNorm, LayerNormHWC, pos_feat_fuse,
+    frame_affine_stats) so their numerics stay in lock-step — the
+    affine/generic attention equivalence depends on it."""
+    mean = jnp.mean(x, axis=axes, keepdims=keepdims, dtype=jnp.float32)
+    mean_sq = jnp.mean(jax.lax.square(x.astype(jnp.float32)), axis=axes,
+                       keepdims=keepdims)
+    var = jnp.maximum(mean_sq - jax.lax.square(mean), 0.0)
+    return mean, var
+
+
 class BatchNorm(nn.Module):
     """BatchNorm with compute-dtype activation traffic, checkpoint-compatible
     with flax ``nn.BatchNorm`` (same param/variable names, shapes, inits, and
@@ -164,13 +178,10 @@ class BatchNorm(nn.Module):
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
-            axes = tuple(range(x.ndim - 1))
             # fp32 statistics over the compute-dtype tensor; under a sharded
             # batch axis jit emits the cross-replica reduction (sync-BN)
-            mean = jnp.mean(x, axis=axes, dtype=jnp.float32)
-            mean_sq = jnp.mean(jax.lax.square(x.astype(jnp.float32)),
-                               axis=axes)
-            var = jnp.maximum(mean_sq - jax.lax.square(mean), 0.0)
+            mean, var = fp32_moments(x, tuple(range(x.ndim - 1)),
+                                     keepdims=False)
             if not self.is_initializing():
                 ra_mean.value = (self.momentum * ra_mean.value
                                  + (1.0 - self.momentum) * mean)
@@ -206,10 +217,7 @@ class TokenLayerNorm(nn.Module):
         C = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
-        mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
-        mean_sq = jnp.mean(jax.lax.square(x.astype(jnp.float32)), axis=-1,
-                           keepdims=True)
-        var = jnp.maximum(mean_sq - jax.lax.square(mean), 0.0)
+        mean, var = fp32_moments(x, -1)
         inv = jax.lax.rsqrt(var + self.epsilon)
         if LEGACY_NORMS:
             y = (x.astype(jnp.float32) - mean) * inv * scale + bias
@@ -236,11 +244,7 @@ class LayerNormHWC(nn.Module):
         # on TPU this halves the HBM traffic of the norm vs materializing an
         # fp32 copy.
         shape = x.shape[-3:]
-        mean = jnp.mean(x, axis=(-3, -2, -1), keepdims=True,
-                        dtype=jnp.float32)
-        mean_sq = jnp.mean(jax.lax.square(x.astype(jnp.float32)),
-                           axis=(-3, -2, -1), keepdims=True)
-        var = jnp.maximum(mean_sq - jax.lax.square(mean), 0.0)
+        mean, var = fp32_moments(x, (-3, -2, -1))
         inv = jax.lax.rsqrt(var + self.epsilon)
         scale = self.param("scale", nn.initializers.ones, shape, jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, shape, jnp.float32)

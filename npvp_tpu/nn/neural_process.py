@@ -87,10 +87,9 @@ def pos_feat_fuse(
     # fp32 statistics over the compute-dtype tensor (single bf16 read; no
     # fp32 materialization of the activations). For 'batch' the reduction
     # spans the (sharded) global batch — sync-BN for free under jit.
-    mean = jnp.mean(x, axis=axes, keepdims=True, dtype=jnp.float32)
-    mean_sq = jnp.mean(jax.lax.square(x.astype(jnp.float32)), axis=axes,
-                       keepdims=True)
-    var = jnp.maximum(mean_sq - jax.lax.square(mean), 0.0)
+    from npvp_tpu.nn.layers import fp32_moments
+
+    mean, var = fp32_moments(x, axes)
     inv = jax.lax.rsqrt(var + epsilon).astype(x.dtype)
     mean = mean.astype(x.dtype)
 

@@ -143,32 +143,3 @@ class QuantDense(nn.Module):
                               jnp.float32)
             y = y + bias.astype(self.dtype)
         return y
-
-
-def int8_conv(x: jnp.ndarray, kernel: jnp.ndarray, strides=(1, 1),
-              padding="SAME", feature_group_count: int = 1,
-              out_dtype: jnp.dtype = jnp.bfloat16) -> jnp.ndarray:
-    """NHWC conv with dynamically int8-quantized operands.
-
-    Activation scale is per-image (abs-max over H, W, C — conv rows overlap,
-    so per-pixel scales can't ride the MXU); weight scale is per output
-    channel. Grouped (depthwise) convs fall back to the caller's non-quant
-    path — their FLOPs are negligible.
-    """
-    assert feature_group_count == 1
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(1, 2, 3),
-                   keepdims=True)
-    sx = jnp.maximum(amax, _EPS) / 127.0
-    qx = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127
-                  ).astype(jnp.int8)
-    wmax = jnp.max(jnp.abs(kernel.astype(jnp.float32)), axis=(0, 1, 2),
-                   keepdims=True)
-    sw = jnp.maximum(wmax, _EPS) / 127.0
-    qw = jnp.clip(jnp.round(kernel.astype(jnp.float32) / sw), -127, 127
-                  ).astype(jnp.int8)
-    acc = jax.lax.conv_general_dilated(
-        qx, qw, window_strides=strides, padding=padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.int32)
-    return (acc.astype(jnp.float32) * sx * sw.reshape(1, 1, 1, -1)
-            ).astype(out_dtype)

@@ -96,10 +96,9 @@ def frame_affine_stats(x: jnp.ndarray, eps: float = 1e-5):
     project from the raw input in one wide MXU matmul (512→1536 matmuls run
     ~2.5× the TF/s of 512→512 on v5e) and the fused tensor never
     materializes in HBM. Exact algebra, same parameters."""
-    mean = jnp.mean(x, axis=(2, 3, 4), keepdims=True, dtype=jnp.float32)
-    mean_sq = jnp.mean(jax.lax.square(x.astype(jnp.float32)),
-                       axis=(2, 3, 4), keepdims=True)
-    var = jnp.maximum(mean_sq - jax.lax.square(mean), 0.0)
+    from npvp_tpu.nn.layers import fp32_moments
+
+    mean, var = fp32_moments(x, (2, 3, 4))
     inv = jax.lax.rsqrt(var + eps)
     return inv, -mean * inv
 
@@ -273,10 +272,9 @@ def _gelu_for(dtype):
 def _layer_norm_hwc(x, scale, bias, dtype, eps=1e-5):
     """Per-sample LayerNorm over trailing (H, W, C) with fp32 statistics but
     compute-dtype traffic (see LayerNormHWC)."""
-    mean = jnp.mean(x, axis=(-3, -2, -1), keepdims=True, dtype=jnp.float32)
-    mean_sq = jnp.mean(jax.lax.square(x.astype(jnp.float32)),
-                       axis=(-3, -2, -1), keepdims=True)
-    var = jnp.maximum(mean_sq - jax.lax.square(mean), 0.0)
+    from npvp_tpu.nn.layers import fp32_moments
+
+    mean, var = fp32_moments(x, (-3, -2, -1))
     inv = jax.lax.rsqrt(var + eps)
     a = (inv * scale).astype(dtype)
     b = (bias - mean * inv * scale).astype(dtype)

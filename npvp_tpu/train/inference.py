@@ -78,17 +78,23 @@ def run_tasks(cfg, vp: VideoPredictor, dm: DataModule, tasks, num_batches=2,
                     sample_gif = str(Path(gif_dir) / "VFP.gif")
                 continue
             if task == "VPE":
-                Fe = T - P
-                obs, to, tp = (full[:, T - P:T], np.arange(Fe, T),
+                # clamp the context to the max_T segment (like HVRC below):
+                # with P ≥ T the raw split would slice negative indices and
+                # produce out-of-range times
+                Pe = min(P, T - 1)
+                Fe = T - Pe
+                obs, to, tp = (full[:, Fe:T], np.arange(Fe, T),
                                np.arange(Fe))
             elif task == "VFI":
-                k = max(1, P // 2)
+                # boundary contexts must leave a non-empty middle
+                k = max(1, min(P // 2, (T - 1) // 2))
                 to = np.concatenate([np.arange(k), np.arange(T - k, T)])
                 tp = np.arange(k, T - k)
                 obs = full[:, to]
             elif task == "VRC":
                 perm = np.random.default_rng(bi).permutation(T)
-                to, tp = np.sort(perm[:P]), np.sort(perm[P:])
+                Pe = min(P, T - 1)  # leave ≥1 target position
+                to, tp = np.sort(perm[:Pe]), np.sort(perm[Pe:])
                 obs = full[:, to]
             elif task == "HVRC":
                 Pe = min(P, T - 1)

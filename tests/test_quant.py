@@ -16,7 +16,7 @@ from flax import linen as nn
 from npvp_tpu.core.config import Config
 from npvp_tpu.models.coords import coordinate_grid, spatial_index_lists
 from npvp_tpu.models.predictor import build_predictor
-from npvp_tpu.nn.quant import (QuantDense, int8_contract, int8_conv,
+from npvp_tpu.nn.quant import (QuantDense, int8_contract,
                                quantize_colwise, quantize_rowwise)
 
 
@@ -94,17 +94,6 @@ def test_fused_qk_projection_matches_unfused():
     unfused = mha.apply(variables, x, x + 0.0, v)  # distinct array object
     np.testing.assert_allclose(np.asarray(fused), np.asarray(unfused),
                                rtol=2e-5, atol=2e-5)
-
-
-def test_int8_conv_matches_fp32():
-    k = jax.random.key(4)
-    x = jax.random.normal(k, (2, 16, 16, 8))
-    w = jax.random.normal(jax.random.fold_in(k, 1), (3, 3, 8, 12)) * 0.2
-    ref = jax.lax.conv_general_dilated(
-        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    got = int8_conv(x, w, out_dtype=jnp.float32)
-    rel = jnp.abs(got - ref).mean() / jnp.abs(ref).mean()
-    assert rel < 0.03, rel
 
 
 def test_predictor_int8_mode_feature_drift():

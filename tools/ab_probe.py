@@ -60,20 +60,22 @@ def main():
     frames = jnp.asarray(np.random.default_rng(0).standard_normal(
         (64, 10, 64, 64, 1), dtype=np.float32), jnp.bfloat16)
 
-    dec_ct = ResnetDecoder(out_channels=1, ngf=cfg.AE.ngf,
-                           n_downsampling=cfg.AE.n_downsampling,
-                           out_layer=cfg.AE.out_layer, subpixel=False,
-                           dtype=jnp.bfloat16)
+    # build BOTH variants explicitly — FrameAutoEncoder.decode follows the
+    # config default (subpixel=False since the losing measurement), so the A
+    # side must force subpixel=True itself
+    mk_dec = lambda subpx: ResnetDecoder(
+        out_channels=1, ngf=cfg.AE.ngf,
+        n_downsampling=cfg.AE.n_downsampling,
+        out_layer=cfg.AE.out_layer, subpixel=subpx, dtype=jnp.bfloat16)
+    dec_subpx, dec_ct = mk_dec(True), mk_dec(False)
 
-    def decoder_subpx(ae_vars, pf):
-        from npvp_tpu.nn.resnet_ae import FrameAutoEncoder
-        return vp.ae.apply(ae_vars, pf, train=False,
-                           method=FrameAutoEncoder.decode)
+    def apply_dec(dec, ae_vars, pf):
+        return dec.apply({"params": ae_vars["params"]["decoder"],
+                          "batch_stats": ae_vars["batch_stats"]["decoder"]},
+                         pf, train=False)
 
-    def decoder_ct(ae_vars, pf):
-        return dec_ct.apply({"params": ae_vars["params"]["decoder"],
-                             "batch_stats": ae_vars["batch_stats"]["decoder"]},
-                            pf, train=False)
+    decoder_subpx = lambda ae_vars, pf: apply_dec(dec_subpx, ae_vars, pf)
+    decoder_ct = lambda ae_vars, pf: apply_dec(dec_ct, ae_vars, pf)
 
     fa = make_scanned(vp, decoder_subpx, oc, tc)
     fb = make_scanned(vp, decoder_ct, oc, tc)
