@@ -25,6 +25,14 @@ from npvp_tpu.nn.upsample import (subpixel_conv_same,
 _XAVIER = nn.initializers.xavier_uniform()
 
 
+def _softmax_f32_stats(logits: jnp.ndarray, axes) -> jnp.ndarray:
+    """Softmax reading/writing ``logits`` in its own dtype with fp32
+    exponent/sum arithmetic — ≡ jax.nn.softmax when logits are fp32."""
+    lmax = jax.lax.stop_gradient(jnp.max(logits, axis=axes, keepdims=True))
+    e = jnp.exp((logits - lmax).astype(jnp.float32))
+    return (e / jnp.sum(e, axis=axes, keepdims=True)).astype(logits.dtype)
+
+
 def _dense_params(mod, name: str, in_features: int, features: int):
     """{kernel, bias} holder bit-compatible with nn.Dense (xavier kernel as
     the attention projections use), for fused multi-projection matmuls."""
@@ -84,9 +92,14 @@ class NonLocalAttention2D(nn.Module):
         k = nn.max_pool(k, (2, 2), strides=(2, 2))
         v = nn.max_pool(v, (2, 2), strides=(2, 2))
 
+        # the (H·W)×(H·W/4) logits are the AE's biggest tensor (671 MB fp32
+        # at 32×32 — measured 13.5 ms in this module, tools/hlo_probe.py
+        # join): materialize them in the compute dtype and keep only the
+        # softmax *statistics* in fp32 (identical math when dtype is fp32)
         logits = jnp.einsum("nhwa,nija->nhwij", q, k,
-                            preferred_element_type=jnp.float32)
-        weights = jax.nn.softmax(logits, axis=(-2, -1)).astype(x.dtype)
+                            preferred_element_type=jnp.float32
+                            ).astype(x.dtype)
+        weights = _softmax_f32_stats(logits, axes=(-2, -1))
         out = jnp.einsum("nhwij,nijv->nhwv", weights, v)
         out = nn.Dense(C, kernel_init=_XAVIER, dtype=self.dtype,
                        param_dtype=jnp.float32, name="out_proj")(out)
@@ -119,8 +132,9 @@ class NonLocalAttention1D(nn.Module):
         k = dense(attn_dim, "wk")(x)
         v = dense(value_dim, "wv")(x)
         logits = jnp.einsum("btc,bsc->bts", q, k,
-                            preferred_element_type=jnp.float32)
-        weights = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+                            preferred_element_type=jnp.float32
+                            ).astype(x.dtype)
+        weights = _softmax_f32_stats(logits, axes=(-1,))
         out = dense(C, "out_proj")(jnp.einsum("bts,bsc->btc", weights, v))
         # reference applies BatchNorm1d over (B, C, T)
         out = BatchNorm(use_running_average=not train, momentum=0.9,

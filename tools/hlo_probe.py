@@ -45,7 +45,9 @@ def compile_and_dump():
         return vp.ae.apply(ae_vars, out.pred_features, train=False,
                            method=FrameAutoEncoder.decode)
 
-    frames = jnp.zeros((64, 10, 64, 64, 1), jnp.float32)
+    # MATCH tools/trace_probe.py exactly (bf16 frames) so HLO instruction
+    # names line up with the trace's op names and the two can be joined
+    frames = jnp.zeros((64, 10, 64, 64, 1), jnp.bfloat16)
     txt = pipeline.lower(vp.ae_vars, vp.predictor_vars, frames,
                          jax.random.key(0)).compile().as_text()
     pathlib.Path(OUT).write_text(txt)
@@ -66,8 +68,47 @@ def lookup(names):
             print(m.group(0)[:400])
 
 
+def join_trace(top=30):
+    """Join the profiler trace (tools/trace_probe.py output) with the HLO
+    dump: device ms per source module (metadata op_name buckets)."""
+    import collections
+    import glob
+    import gzip
+    import json
+
+    txt = pathlib.Path(OUT).read_text()
+    meta = {}
+    for m in re.finditer(r'%(\S+?) = .*?metadata=\{op_name="([^"]*)"', txt):
+        meta[m.group(1)] = m.group(2)
+    files = sorted(glob.glob("/tmp/npvp_trace/**/*.trace.json.gz",
+                             recursive=True))
+    with gzip.open(files[-1], "rt") as f:
+        data = json.load(f)
+    mod = collections.Counter()
+    matched = total = 0.0
+    for ev in data.get("traceEvents", []):
+        a = ev.get("args") or {}
+        if ev.get("ph") != "X" or "hlo_category" not in a:
+            continue
+        dur = ev["dur"] / 1e3 / 3  # 3 pipeline iterations in the trace
+        total += dur
+        op = meta.get(ev["name"])
+        if op is None:
+            mod["<unmatched>"] += dur
+            continue
+        matched += dur
+        b = re.sub(r"layer_\d+", "layer_*", op)
+        parts = [p for p in b.split("/") if "jit(" not in p]
+        mod["/".join(parts[:4])] += dur
+    print(f"matched {matched:.1f} / {total:.1f} ms")
+    for k, v in mod.most_common(top):
+        print(f"{v:7.2f} ms  {k}")
+
+
 if __name__ == "__main__":
-    if len(sys.argv) > 1:
+    if len(sys.argv) > 1 and sys.argv[1] == "join":
+        join_trace()
+    elif len(sys.argv) > 1:
         lookup(sys.argv[1:])
     else:
         compile_and_dump()
