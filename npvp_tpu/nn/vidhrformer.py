@@ -378,12 +378,21 @@ class TemporalAttention(nn.Module):
 
     @nn.compact
     def __call__(self, q_in, k_in, v_in, allow=None, deterministic=True,
-                 pos_beta_q=None, pos_beta_kv=None, evt_q=None):
+                 pos_beta_q=None, pos_beta_kv=None, evt_q=None,
+                 cross_pkv=None, expose_params=False):
         """Generic path: q_in/k_in are pre-fused tensors. Affine path
         (``pos_beta_q`` given; 'layer'+'Add' only): q_in/k_in/v_in are the
         raw inputs and the positional fusion folds through the projections
         (self-attention: q_in is k_in → one C→3C matmul; cross-attention:
-        separate q and fused k/v projections on memory)."""
+        separate q and fused k/v projections on memory).
+
+        ``cross_pkv``: optionally the pre-projected memory (Pk, Pv) in
+        (N, H, W, To, HD) layout — the decoder stack batches the k/v
+        projections of ALL its cross-attentions into one wide matmul over
+        the shared memory (see VidHRFormerDecoderNAR). ``expose_params``
+        returns this attention's raw parameter tuple for that hoist."""
+        if expose_params:
+            return _MHAParams(self.embed_dim, self.num_heads, name="attn")()
         mask = None
         if allow is not None:
             mask = allow[None, None, None, None, :, :]  # (..., heads, Tq, Tk)
@@ -445,13 +454,17 @@ class TemporalAttention(nn.Module):
                       + (perm5(bq_s) * ones_q + pos_q).astype(self.dtype))
             To = k_in.shape[1]
             ak, bk_s = frame_affine_stats(k_in)
-            mT = perm5(k_in)
-            P = _matmul(mT, jnp.concatenate(
-                [wk_f, w3[:, 2 * HD:]], -1), self.dtype, quant)
+            if cross_pkv is None:
+                mT = perm5(k_in)
+                P = _matmul(mT, jnp.concatenate(
+                    [wk_f, w3[:, 2 * HD:]], -1), self.dtype, quant)
+                Pk, Pv = P[..., :HD], P[..., HD:]
+            else:  # stack-hoisted projection (same math, one wide matmul)
+                Pk, Pv = cross_pkv
             pos_k = posmm(pos_beta_kv, wk_f, bk, To)
-            k = heads(perm5(ak).astype(self.dtype) * P[..., :HD]
+            k = heads(perm5(ak).astype(self.dtype) * Pk
                       + (perm5(bk_s) * ones_k + pos_k).astype(self.dtype))
-            v = heads(P[..., HD:] + bv.astype(self.dtype))
+            v = heads(Pv + bv.astype(self.dtype))
         rng = None
         if self.dropout > 0.0 and not deterministic:
             rng = self.make_rng("dropout")
@@ -597,7 +610,15 @@ class VidHRFormerBlockDecNAR(nn.Module):
 
     @nn.compact
     def __call__(self, tgt, query_evt, memory, mem_pos, tgt_pos,
-                 self_allow=None, cross_allow=None, deterministic=True):
+                 self_allow=None, cross_allow=None, deterministic=True,
+                 cross_pkv=None, expose_cross_params=False):
+        if expose_cross_params:
+            # hand the cross-attention's raw parameters to the stack for the
+            # hoisted (cross-layer batched) memory k/v projection
+            return TemporalAttention(
+                self.embed_dim, self.num_heads, self.dropout,
+                exec_mode=self.exec_mode, dtype=self.dtype,
+                name="enc_dec_attn")(None, None, None, expose_params=True)
         mem_beta, mem_gamma = mem_pos
         tgt_beta, tgt_gamma = tgt_pos
         # torch nn.LayerNorm default eps (reference VidHRFormer.py:65-77)
@@ -665,7 +686,7 @@ class VidHRFormerBlockDecNAR(nn.Module):
         if af:
             cattn = ca(q_in, memory, memory, cross_allow, deterministic,
                        pos_beta_q=tgt_beta, pos_beta_kv=mem_beta,
-                       evt_q=query_evt)
+                       evt_q=query_evt, cross_pkv=cross_pkv)
         else:
             query = pos_feat_fuse(q_in + query_evt, tgt_beta, tgt_gamma,
                                   self.norm_type)
@@ -716,14 +737,40 @@ class VidHRFormerDecoderNAR(nn.Module):
         block_cls = (nn.remat(VidHRFormerBlockDecNAR,
                               static_argnums=(8,))
                      if self.remat else VidHRFormerBlockDecNAR)
-        for i in range(self.num_layers):
+        blocks = [block_cls(
+            self.embed_dim, self.num_heads, self.window_size,
+            self.dropout, self.drop_path, self.ffn_hidden_ratio,
+            self.dim_feedforward, self.norm_type,
+            affine_posfuse=self.affine_posfuse,
+            exec_mode=self.exec_mode, dtype=self.dtype,
+            name=f"layer_{i}") for i in range(self.num_layers)]
+
+        # Cross-layer k/v hoist (serving): every layer's cross-attention
+        # projects the SAME memory; batching the L (C → 2·HD) projections
+        # into one (C → L·2·HD) matmul reads memory once and runs the MXU
+        # at 8192-wide instead of 1024-wide (512-wide dots measure a
+        # fraction of the wide-dot TF/s — DESIGN.md). Exact same math and
+        # parameters; per-layer affine/positional terms stay in the blocks.
+        cross_pkvs = [None] * self.num_layers
+        if (self.affine_posfuse and deterministic and not self.remat
+                and self.exec_mode != "int8"):
+            args = (tgt, query_evt, memory, mem_pos, tgt_pos)
+            pieces, HD = [], None
+            for b in blocks:
+                w3_l, (_, wk_f), _, _, HD = _qkv_weights(
+                    b(*args, expose_cross_params=True))
+                pieces.append(jnp.concatenate([wk_f, w3_l[:, 2 * HD:]], -1))
+            big = jnp.concatenate(pieces, -1)            # (C, L·2·HD)
+            mT = memory.transpose(0, 2, 3, 1, 4)
+            P = mT.astype(self.dtype) @ big.astype(self.dtype)
+            cross_pkvs = [(P[..., l * 2 * HD:l * 2 * HD + HD],
+                           P[..., l * 2 * HD + HD:(l + 1) * 2 * HD])
+                          for l in range(self.num_layers)]
+
+        for i, block in enumerate(blocks):
             tgt = sp_shard(tgt)
-            tgt = block_cls(
-                self.embed_dim, self.num_heads, self.window_size,
-                self.dropout, self.drop_path, self.ffn_hidden_ratio,
-                self.dim_feedforward, self.norm_type,
-                affine_posfuse=self.affine_posfuse,
-                exec_mode=self.exec_mode, dtype=self.dtype,
-                name=f"layer_{i}")(tgt, query_evt, memory, mem_pos, tgt_pos,
-                                   self_allow, cross_allow, deterministic)
+            kw = ({"cross_pkv": cross_pkvs[i]}
+                  if cross_pkvs[i] is not None else {})
+            tgt = block(tgt, query_evt, memory, mem_pos, tgt_pos,
+                        self_allow, cross_allow, deterministic, **kw)
         return tgt

@@ -49,3 +49,26 @@ def test_dec_block_affine_equals_generic(H, W):
     og = mk(False).apply(variables, *args)
     oa = mk(True).apply(variables, *args)
     np.testing.assert_allclose(np.asarray(oa), np.asarray(og), atol=3e-5)
+
+
+def test_decoder_cross_kv_hoist_equals_generic():
+    """The decoder stack's cross-layer k/v hoist (all cross-attention memory
+    projections batched into one wide matmul) equals the per-layer generic
+    path over one parameter set."""
+    from npvp_tpu.nn.vidhrformer import VidHRFormerDecoderNAR
+
+    k = jax.random.key(0)
+    N, To, H, W, C = 2, 4, 8, 8, 32
+    evt = jax.random.normal(k, (N, 1, H, W, C)) * 0.5
+    mem = jax.random.normal(jax.random.fold_in(k, 2), (N, To, H, W, C)) * 0.5
+    tbeta = jax.random.normal(jax.random.fold_in(k, 1), (3 * H * W, C)) * 0.3
+    mbeta = jax.random.normal(jax.random.fold_in(k, 3), (To * H * W, C)) * 0.3
+    mk = lambda af: VidHRFormerDecoderNAR(2, C, 4, dropout=0.0,
+                                          drop_path=0.0, dim_feedforward=64,
+                                          affine_posfuse=af)
+    args = (evt, mem, (mbeta, jnp.zeros_like(mbeta)),
+            (tbeta, jnp.zeros_like(tbeta)))
+    variables = mk(True).init(k, *args)
+    np.testing.assert_allclose(
+        np.asarray(mk(True).apply(variables, *args)),
+        np.asarray(mk(False).apply(variables, *args)), atol=2e-5)
