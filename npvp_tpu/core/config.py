@@ -71,6 +71,10 @@ class AEConfig:
     num_res_blocks: int = 2
     out_layer: str = "Tanh"  # 'Sigmoid' for SM-MNIST
     learn_3d: bool = False
+    # TPU-native: sub-pixel (stride-4) form of the 7×7 output head — exact
+    # math, same parameters (nn/upsample.subpixel_conv_same); measured a
+    # wash at flagship shapes, available for larger heads
+    s2d_head: bool = False
     log_per_epochs: int = 2
 
 

@@ -318,6 +318,7 @@ class FrameAutoEncoder(nn.Module):
     num_res_blocks: int = 2
     out_layer: str = "Tanh"
     learn_3d: bool = False
+    s2d_head: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -328,7 +329,7 @@ class FrameAutoEncoder(nn.Module):
         self.decoder = ResnetDecoder(
             out_channels=self.img_channels, ngf=self.ngf,
             n_downsampling=self.n_downsampling, out_layer=self.out_layer,
-            dtype=self.dtype)
+            s2d_head=self.s2d_head, dtype=self.dtype)
 
     def __call__(self, x: jnp.ndarray, train: bool = False):
         feats = self.encoder(x, train=train)

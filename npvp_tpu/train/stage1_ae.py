@@ -39,7 +39,7 @@ def build_ae(cfg: Config, dtype) -> FrameAutoEncoder:
         img_channels=cfg.Dataset.img_channels, ngf=cfg.AE.ngf,
         n_downsampling=cfg.AE.n_downsampling,
         num_res_blocks=cfg.AE.num_res_blocks, out_layer=cfg.AE.out_layer,
-        learn_3d=cfg.AE.learn_3d, dtype=dtype)
+        learn_3d=cfg.AE.learn_3d, s2d_head=cfg.AE.s2d_head, dtype=dtype)
 
 
 def init_state(cfg: Config, ae: FrameAutoEncoder, sample_shape) -> TrainState:

@@ -29,6 +29,8 @@ def main():
     from npvp_tpu.nn.resnet_ae import FrameAutoEncoder
 
     cfg = _flagship_config()
+    if "s2d" in sys.argv[1:]:
+        cfg.AE.s2d_head = True
     vp = VideoPredictor.from_random_init(cfg, dtype=jnp.bfloat16)
     p = cfg.Predictor
     h, w = spatial_index_lists(p.max_H, p.max_W)
