@@ -11,8 +11,13 @@ Conditional Video Prediction", CVPRW 2023) with a TPU-first design:
 - One trained model serves VFP / VPE / VFI / VRC / HVRC purely through
   coordinate choices (reference: models/Predictor.py:352-359 `reset_pos_coor`).
 
-Parallelism is expressed with `jax.sharding.Mesh` + NamedSharding (data/model
-axes); hot attention paths have fused Pallas TPU kernels in `npvp_tpu.kernels`.
+Parallelism is expressed with `jax.sharding.Mesh` + NamedSharding (data +
+model axes: Megatron tensor parallelism, optional sequence-parallel
+activation sharding, multi-host via jax.distributed — `npvp_tpu.core.mesh`).
+The compute path is measurement-driven XLA (affine-fused attention,
+bf16-traffic norms, cross-layer k/v hoisting); Pallas kernels were built,
+measured slower at this model's shapes, and removed — the record lives in
+`npvp_tpu.kernels` and DESIGN.md.
 """
 
 __version__ = "0.1.0"

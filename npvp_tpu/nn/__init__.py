@@ -1,5 +1,6 @@
-from npvp_tpu.nn.layers import (ConvBNAct, DropPath, LayerNormHWC,
-                                MultiHeadAttention, reflect_pad_2d,
+from npvp_tpu.nn.layers import (BatchNorm, ConvBNAct, DropPath,
+                                LayerNormHWC, MultiHeadAttention,
+                                TokenLayerNorm, reflect_pad_2d,
                                 scaled_dot_product_attention)
 from npvp_tpu.nn.losses import (bi_patch_nce_loss, gdl_loss, kl_divergence,
                                 l1_loss, mse_loss, temporal_diff_loss)
