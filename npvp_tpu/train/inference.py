@@ -27,6 +27,29 @@ from npvp_tpu.models.inference import VideoPredictor
 from npvp_tpu.train.common import build_argparser, load_cli_config
 
 
+def task_split(task: str, P: int, T: int, seed: int = 0):
+    """(to, tp) index arrays for a within-clip task on the leading ``T``
+    frames with a nominal context of ``P`` frames. Contexts are clamped so
+    every task keeps ≥1 target inside the trained range even when the test
+    protocol asks for P ≥ T (the reference asserts t ≤ max_T)."""
+    if task == "VPE":
+        Pe = min(P, T - 1)
+        return np.arange(T - Pe, T), np.arange(T - Pe)
+    if task == "VFI":
+        k = max(1, min(P // 2, (T - 1) // 2))
+        return (np.concatenate([np.arange(k), np.arange(T - k, T)]),
+                np.arange(k, T - k))
+    if task == "VRC":
+        perm = np.random.default_rng(seed).permutation(T)
+        Pe = min(P, T - 1)
+        return np.sort(perm[:Pe]), np.sort(perm[Pe:])
+    if task == "HVRC":
+        Pe = min(P, T - 1)
+        return (np.arange(Pe, dtype=np.float32),
+                np.arange(Pe - 1, T - 1) + 0.5)
+    raise ValueError(f"unknown task {task!r}")
+
+
 def run_tasks(cfg, vp: VideoPredictor, dm: DataModule, tasks, num_batches=2,
               gif_dir=None, rng=None):
     d = cfg.Dataset
@@ -77,32 +100,8 @@ def run_tasks(cfg, vp: VideoPredictor, dm: DataModule, tasks, num_batches=2,
                                     "gt": dm.renorm(gt[0])})
                     sample_gif = str(Path(gif_dir) / "VFP.gif")
                 continue
-            if task == "VPE":
-                # clamp the context to the max_T segment (like HVRC below):
-                # with P ≥ T the raw split would slice negative indices and
-                # produce out-of-range times
-                Pe = min(P, T - 1)
-                Fe = T - Pe
-                obs, to, tp = (full[:, Fe:T], np.arange(Fe, T),
-                               np.arange(Fe))
-            elif task == "VFI":
-                # boundary contexts must leave a non-empty middle
-                k = max(1, min(P // 2, (T - 1) // 2))
-                to = np.concatenate([np.arange(k), np.arange(T - k, T)])
-                tp = np.arange(k, T - k)
-                obs = full[:, to]
-            elif task == "VRC":
-                perm = np.random.default_rng(bi).permutation(T)
-                Pe = min(P, T - 1)  # leave ≥1 target position
-                to, tp = np.sort(perm[:Pe]), np.sort(perm[Pe:])
-                obs = full[:, to]
-            elif task == "HVRC":
-                Pe = min(P, T - 1)
-                to = np.arange(Pe, dtype=np.float32)
-                tp = np.arange(Pe - 1, T - 1) + 0.5  # fractional times
-                obs = full[:, :Pe]
-            else:
-                raise ValueError(f"unknown task {task}")
+            to, tp = task_split(task, P, T, seed=bi)
+            obs = full[:, to.astype(int)]
             pred, dt = timed(vp.predict, jnp.asarray(obs), to, tp, key)
             times.append(dt)
             if task != "HVRC":  # integer targets → ground truth exists

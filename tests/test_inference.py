@@ -140,3 +140,22 @@ def test_inference_cli_runs(tmp_path, monkeypatch, capsys):
     assert out["VFP"]["PSNR"] > 0
     assert (tmp_path / "gifs" / "VFP.gif").exists()
     assert "PSNR" not in out["HVRC"]  # fractional times have no ground truth
+
+
+def test_task_split_clamps_to_trained_range():
+    """Every task split stays inside [0, T) with >=1 target, even when the
+    test protocol asks for a context P >= T (the reference asserts
+    t <= max_T, models/submodules.py:349-351)."""
+    from npvp_tpu.train.inference import task_split
+
+    for task in ("VPE", "VFI", "VRC", "HVRC"):
+        for P, T in ((5, 15), (10, 10), (20, 10), (1, 4)):
+            to, tp = task_split(task, P, T, seed=3)
+            assert len(tp) >= 1, (task, P, T)
+            assert len(to) >= 1, (task, P, T)
+            for arr in (to, tp):
+                assert np.all(np.asarray(arr, np.float64) >= 0), (task, P, T)
+                assert np.all(np.asarray(arr, np.float64) <= T - 0.5), (
+                    task, P, T)
+            # observed indices must be valid integer frame positions
+            assert np.all(np.asarray(to) == np.asarray(to).astype(int))
