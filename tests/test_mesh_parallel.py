@@ -252,3 +252,41 @@ def test_video_predictor_shard_matches_single_device():
     vp.shard(make_mesh(data=2, model=2))
     got = np.asarray(vp.vfp(frames, 2))
     np.testing.assert_allclose(got, expect, atol=2e-5)
+
+
+def test_video_predictor_shard_streams_batch_axis():
+    """After shard(mesh), predict_stream places the (S, N, ...) stream with
+    its batch axis (1) over the data axis and reproduces the single-device
+    stream output."""
+    from npvp_tpu.core.config import Config
+    from npvp_tpu.models.inference import VideoPredictor
+    from jax.sharding import PartitionSpec as P
+
+    cfg = Config()
+    cfg.Dataset.img_size = 32
+    cfg.Dataset.num_past_frames = 2
+    cfg.Dataset.num_future_frames = 2
+    cfg.AE.ngf = 8
+    cfg.AE.n_downsampling = 2
+    cfg.AE.num_res_blocks = 1
+    cfg.Predictor.max_T = 4
+    cfg.Predictor.embed_dim = 32
+    cfg.Predictor.num_heads = 4
+    cfg.Predictor.transformer_layers = 1
+    cfg.Predictor.evt_former_num_layers = 1
+    cfg.Predictor.evt_hidden_channels = 8
+    cfg.Predictor.dim_feedforward = 32
+    cfg.validate()
+    vp = VideoPredictor.from_random_init(cfg, dtype=jnp.float32)
+    stream = np.random.default_rng(0).standard_normal((2, 4, 2, 32, 32, 1),
+                                                      np.float32)
+    expect = np.asarray(vp.predict_stream(stream, [0, 1], [2, 3]))
+
+    mesh = make_mesh(data=2, model=2)
+    vp.shard(mesh)
+    placed = vp._place_frames(stream, batch_axis=1)
+    assert placed.sharding.spec[1] == "data"
+    assert all(ax is None for i, ax in enumerate(placed.sharding.spec)
+               if i != 1)
+    got = np.asarray(vp.predict_stream(stream, [0, 1], [2, 3]))
+    np.testing.assert_allclose(got, expect, atol=2e-5)
