@@ -92,8 +92,9 @@ def bench_inference():
     np.asarray(compiled(vp.ae_vars, vp.predictor_vars, frames, key))
 
     # streaming throughput: dispatch back-to-back, fence with a host fetch of
-    # the last output only (programs execute serially on one chip)
-    reps = 3
+    # the last output only (programs execute serially on one chip); min over
+    # reps — the chip is shared, the minimum window is least contaminated
+    reps = 5
     samples = []
     for r in range(reps):
         n = 20
