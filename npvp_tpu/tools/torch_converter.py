@@ -434,14 +434,31 @@ def main(argv=None):
 
     parser = argparse.ArgumentParser(
         description="Convert reference PyTorch checkpoints to Flax")
-    parser.add_argument("--kind", choices=["ae", "predictor", "i3d"],
+    parser.add_argument("--kind",
+                        choices=["ae", "predictor", "i3d", "i3d_tf"],
                         required=True)
-    parser.add_argument("--ckpt", required=True)
+    parser.add_argument("--ckpt", required=True,
+                        help="Lightning/pytorch .ckpt, or for i3d_tf a TF "
+                             "checkpoint prefix / SavedModel variables file "
+                             "(reference utils/convert_tf_pretrained.py)")
     parser.add_argument("--config_path")
     parser.add_argument("--out", required=True)
     args = parser.parse_args(argv)
 
-    if args.kind == "i3d":
+    if args.kind == "i3d_tf":
+        # direct TF-hub Kinetics-I3D ingestion — no torch intermediate
+        import tensorflow as tf  # gated; baked into the image
+
+        reader = tf.train.load_checkpoint(args.ckpt)
+        tf_vars = {name: reader.get_tensor(name)
+                   for name in reader.get_variable_to_shape_map()
+                   if "Adam" not in name and "global_step" not in name}
+        # checkpoint tensor names lack the ':0' suffix the hub module
+        # variable names carry; normalize to the mapping's expectation
+        tf_vars = {(n if n.endswith(":0") else n + ":0"): v
+                   for n, v in tf_vars.items()}
+        variables = convert_tf_hub_i3d(tf_vars)
+    elif args.kind == "i3d":
         sd = load_lightning_state_dict(args.ckpt)
         variables = convert_i3d(sd)
     else:
