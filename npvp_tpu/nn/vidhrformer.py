@@ -5,8 +5,8 @@ TPU-first rebuild of the reference's VidHRFormer stack (reference
 models/VidHRFormer.py):
 
 - local-window spatial MHSA (HRFormer-style) via reshape-based window
-  partition — the permute is a layout change XLA folds into the attention
-  einsums; a fused Pallas kernel is available in ``npvp_tpu.kernels``;
+  partition (a mask-based window variant and two Pallas kernels were built,
+  measured slower, and removed — DESIGN.md / npvp_tpu/kernels);
 - temporal MHSA over the T axis with the batch folded into (N, H, W) — this
   is the axis sharded across the mesh for scale-out;
 - conv FFN (1×1 → depthwise 3×3 → 1×1 with per-position LayerNorm, "MlpDWBN");
