@@ -59,6 +59,12 @@ def run_tasks(cfg, vp: VideoPredictor, dm: DataModule, tasks, num_batches=2,
         batches.append(b)
         if i + 1 >= num_batches:
             break
+    if not batches:
+        raise RuntimeError(
+            f"test loader for Dataset.name={d.name!r} produced no batches — "
+            f"check Dataset.dir={d.dir!r} contains the prepared frames (see "
+            "tools/preprocessing.py) and that batch_size <= the test-set "
+            "size")
     P = d.test_num_past_frames
     F = d.test_num_future_frames
     # within-clip tasks operate on the leading max_T-frame segment (the
