@@ -31,7 +31,13 @@ def task_split(task: str, P: int, T: int, seed: int = 0):
     """(to, tp) index arrays for a within-clip task on the leading ``T``
     frames with a nominal context of ``P`` frames. Contexts are clamped so
     every task keeps ≥1 target inside the trained range even when the test
-    protocol asks for P ≥ T (the reference asserts t ≤ max_T)."""
+    protocol asks for P ≥ T (the reference asserts t ≤ max_T).
+
+    NOTE: these are the *demo* splits of the reference's Inference.ipynb
+    cells (boundary VFI, prefix-context HVRC, per-batch VRC seeds).
+    ``eval.evaluate._task_split`` deliberately implements a different,
+    metric-oriented protocol (per-timestep scoring on integer targets,
+    config-seeded VRC) — numbers from the two CLIs are not comparable."""
     if task == "VPE":
         Pe = min(P, T - 1)
         return np.arange(T - Pe, T), np.arange(T - Pe)

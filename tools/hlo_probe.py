@@ -84,6 +84,10 @@ def join_trace(top=30):
         meta[m.group(1)] = m.group(2)
     files = sorted(glob.glob("/tmp/npvp_trace/**/*.trace.json.gz",
                              recursive=True))
+    if not files:
+        print("no trace found — run tools/trace_probe.py first "
+              "(same variant as the HLO dump!)")
+        return
     with gzip.open(files[-1], "rt") as f:
         data = json.load(f)
     mod = collections.Counter()
@@ -108,9 +112,13 @@ def join_trace(top=30):
 
 
 if __name__ == "__main__":
+    # usage: hlo_probe.py            -> compile + dump default pipeline
+    #        hlo_probe.py s2d        -> compile + dump with AE.s2d_head on
+    #        hlo_probe.py join       -> join latest trace with the dump
+    #        hlo_probe.py <op> ...   -> look up instruction(s) in the dump
     if len(sys.argv) > 1 and sys.argv[1] == "join":
         join_trace()
-    elif len(sys.argv) > 1:
-        lookup(sys.argv[1:])
-    else:
+    elif len(sys.argv) == 1 or sys.argv[1] == "s2d":
         compile_and_dump()
+    else:
+        lookup(sys.argv[1:])
