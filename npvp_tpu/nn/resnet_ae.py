@@ -284,7 +284,18 @@ class ResnetDecoder(nn.Module):
                           name=f"up{i}_bn")(x)
             x = nn.relu(x)
         x = reflect_pad_2d(x, 3)
-        if self.s2d_head and x.shape[1] % 4 == x.shape[2] % 4 == 2:
+        s2d_ok = x.shape[1] % 4 == x.shape[2] % 4 == 2
+        if self.s2d_head and not s2d_ok:
+            # the config asked for the sub-pixel head but the padded H/W
+            # don't tile 4×4 — fall back loudly so A/B probes and HLO dumps
+            # can't silently measure the wrong variant
+            import warnings
+
+            warnings.warn(
+                f"AE.s2d_head requested but padded spatial shape "
+                f"{x.shape[1]}x{x.shape[2]} is not 2 mod 4 (img_size must be "
+                "divisible by 4); using the direct 7x7 head", stacklevel=2)
+        if self.s2d_head and s2d_ok:
             # sub-pixel form of the 7×7 head: with C_out=img_channels (1-3)
             # the natural conv maps ~1 output lane of 128 on the MXU
             # (measured 3.9 ms for 16.4 GFLOP); grouping 4×4 output blocks

@@ -2,8 +2,13 @@
 isolating the round-2 training-path changes:
 
   A = current           (bf16-traffic norms; affine gated off under grad)
-  B = legacy norms      (fp32-materializing LN)
-  D = round-1 config    (affine off + fp32-materializing LN)
+  B = legacy norms      (fp32-materializing *token* LayerNorms)
+  D = round-1 config    (affine off + fp32-materializing token LayerNorms)
+
+LEGACY_NORMS only switches TokenLayerNorm (the transformer-block norms —
+the dominant norm traffic); LayerNormHWC and the custom BatchNorm keep
+their bf16-traffic form in every variant, so B/D bound the token-norm
+effect only, not the full round-1 norm behavior.
 
 (The historical variant C — affine-fused attention differentiated — can no
 longer be constructed: the deterministic gate in the blocks decides per
@@ -51,7 +56,7 @@ def main():
         if affine is not None:
             predictor = predictor.clone(affine_posfuse=affine)
         layers.LEGACY_NORMS = legacy  # trace-time switch
-        step, _, place, _, _ = make_steps(cfg, predictor, ae, ae_vars, mesh,
+        step, _, place, _, _, _ = make_steps(cfg, predictor, ae, ae_vars, mesh,
                                           mode="rand_context")
         data = place(raw_batch)
         key = jax.random.key(1)

@@ -30,7 +30,9 @@ def compile_and_dump():
     cfg = _flagship_config()
     if "s2d" in sys.argv[1:]:
         cfg.AE.s2d_head = True
-    vp = VideoPredictor.from_random_init(cfg, dtype=jnp.bfloat16)
+    mode = "pallas" if "pallas" in sys.argv[1:] else None
+    vp = VideoPredictor.from_random_init(cfg, dtype=jnp.bfloat16,
+                                         exec_mode=mode)
     p = cfg.Predictor
     h, w = spatial_index_lists(p.max_H, p.max_W)
     oc = coordinate_grid(jnp.arange(10, dtype=jnp.float32), h, w,
@@ -70,6 +72,15 @@ def lookup(names):
             print(m.group(0)[:400])
 
 
+def _trace_iters() -> int:
+    """Pipeline iterations per trace — shared with tools/trace_probe.py so
+    the per-iteration division can't silently drift from the capture loop."""
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+    import trace_probe
+
+    return trace_probe.TRACE_ITERS
+
+
 def join_trace(top=30):
     """Join the profiler trace (tools/trace_probe.py output) with the HLO
     dump: device ms per source module (metadata op_name buckets)."""
@@ -96,7 +107,7 @@ def join_trace(top=30):
         a = ev.get("args") or {}
         if ev.get("ph") != "X" or "hlo_category" not in a:
             continue
-        dur = ev["dur"] / 1e3 / 3  # 3 pipeline iterations in the trace
+        dur = ev["dur"] / 1e3 / _trace_iters()  # per-iteration ms
         total += dur
         op = meta.get(ev["name"])
         if op is None:
@@ -118,7 +129,7 @@ if __name__ == "__main__":
     #        hlo_probe.py <op> ...   -> look up instruction(s) in the dump
     if len(sys.argv) > 1 and sys.argv[1] == "join":
         join_trace()
-    elif len(sys.argv) == 1 or sys.argv[1] == "s2d":
+    elif len(sys.argv) == 1 or sys.argv[1] in ("s2d", "pallas"):
         compile_and_dump()
     else:
         lookup(sys.argv[1:])

@@ -20,6 +20,9 @@ import jax.numpy as jnp
 import numpy as np
 
 OUT = "/tmp/npvp_trace"
+# traced pipeline iterations — hlo_probe.join_trace divides event durations
+# by this, so the two tools must share it
+TRACE_ITERS = 3
 
 
 def main():
@@ -31,7 +34,9 @@ def main():
     cfg = _flagship_config()
     if "s2d" in sys.argv[1:]:
         cfg.AE.s2d_head = True
-    vp = VideoPredictor.from_random_init(cfg, dtype=jnp.bfloat16)
+    mode = "pallas" if "pallas" in sys.argv[1:] else None
+    vp = VideoPredictor.from_random_init(cfg, dtype=jnp.bfloat16,
+                                         exec_mode=mode)
     p = cfg.Predictor
     h, w = spatial_index_lists(p.max_H, p.max_W)
     oc = coordinate_grid(jnp.arange(10, dtype=jnp.float32), h, w,
@@ -53,7 +58,7 @@ def main():
 
     np.asarray(pipeline(vp.ae_vars, vp.predictor_vars, frames, key))
     jax.profiler.start_trace(OUT)
-    for i in range(3):
+    for i in range(TRACE_ITERS):
         out = pipeline(vp.ae_vars, vp.predictor_vars, frames,
                        jax.random.fold_in(key, i))
     np.asarray(out[0, 0, 0, 0])
