@@ -79,7 +79,11 @@ def _per_seq_metric(metric, pred_t, gt_t):
 
 def evaluate(cfg: Config, fvd_i3d_ckpt: str | None = None,
              max_batches: int | None = None, random_init: bool = False,
-             task: str = "VFP", num_samples: int = 1) -> dict:
+             task: str = "VFP", num_samples: int = 1,
+             baseline: bool = False) -> dict:
+    """``baseline=True`` adds a copy-nearest-observed-frame row
+    (``<metric>_baseline``) — the trivial predictor every learned model must
+    clearly beat for a quality table to mean anything."""
     assert task in TASKS, task
     dm = DataModule(cfg, jax.process_index(), jax.process_count())
     d, p = cfg.Dataset, cfg.Predictor
@@ -99,10 +103,16 @@ def evaluate(cfg: Config, fvd_i3d_ckpt: str | None = None,
     if task == "VFP":
         num_future = d.test_num_future_frames
         metric_idx = np.arange(num_future)
+        obs_t = np.arange(d.test_num_past_frames, dtype=np.float32)
+        tgt_t = d.test_num_past_frames + np.arange(num_future,
+                                                   dtype=np.float32)
 
         def predict_and_gt(batch, rng):
             pred = vp.vfp(jnp.asarray(batch["past"]), num_future, rng)
             return pred, np.asarray(batch["future"], np.float32)
+
+        def observed(batch):
+            return np.asarray(batch["past"], np.float32)
     else:
         clip_len = d.test_num_past_frames + d.test_num_future_frames
         if clip_len < p.max_T:
@@ -111,6 +121,7 @@ def evaluate(cfg: Config, fvd_i3d_ckpt: str | None = None,
                 f"but test clips are only {clip_len} long; increase "
                 "Dataset.test_num_{past,future}_frames")
         to, tp, metric_idx = _task_split(task, cfg, seed=cfg.Env.rand_seed)
+        obs_t, tgt_t = to, tp[metric_idx]
 
         def predict_and_gt(batch, rng):
             clip = np.concatenate([batch["past"], batch["future"]],
@@ -120,17 +131,36 @@ def evaluate(cfg: Config, fvd_i3d_ckpt: str | None = None,
             gt = clip[:, tp[metric_idx].astype(int)].astype(np.float32)
             return pred, gt
 
-    loader = list(dm.test_loader())
+        def observed(batch):
+            clip = np.concatenate([batch["past"], batch["future"]],
+                                  axis=1)[:, :p.max_T]
+            return clip[:, to.astype(int)].astype(np.float32)
+
+    # copy-nearest-observed-frame baseline: for each target time, repeat the
+    # closest observed frame
+    nearest = np.argmin(np.abs(np.asarray(obs_t)[None, :]
+                               - np.asarray(tgt_t)[:, None]), axis=1)
+
+    # stream the test loader — the BAIR 2→28 / Cityscapes 128² protocols
+    # don't fit materialized in host RAM (round-2 verdict item 7)
+    loader = dm.test_loader()
     if max_batches is not None:
-        loader = loader[:max_batches]
+        import itertools
+
+        loader = itertools.islice(iter(loader), max_batches)
 
     T_m = len(metric_idx)
     metric_fns = {"PSNR": psnr, "SSIM": ssim, "MSE": mse_score}
     higher_better = {"PSNR": True, "SSIM": True, "MSE": False}
     totals = {k: np.zeros(T_m) for k in metric_fns}
+    base_totals = {k: np.zeros(T_m) for k in metric_fns} if baseline else None
     count = 0
-    first_sample_preds = []  # for FVD (one draw per sequence)
-    gts = []
+    fvd = None
+    fake_feats, real_feats = [], []  # (N, 400) I3D features per batch
+    if fvd_i3d_ckpt is not None:
+        from npvp_tpu.eval.fvd import FVD
+
+        fvd = FVD.from_checkpoint(fvd_i3d_ckpt)
     base_rng = jax.random.key(cfg.Env.rand_seed)
     for bi, batch in enumerate(loader):
         # scores[s][name]: (N, T_m) per-sequence per-timestep values
@@ -139,11 +169,11 @@ def evaluate(cfg: Config, fvd_i3d_ckpt: str | None = None,
             rng = jax.random.fold_in(jax.random.fold_in(base_rng, bi), s)
             pred, gt = predict_and_gt(batch, rng)
             pred = np.asarray(pred, np.float32)[:, metric_idx]
-            if s == 0 and fvd_i3d_ckpt is not None:
-                # only FVD consumes the raw frames — don't hold the whole
-                # test set in host RAM otherwise
-                first_sample_preds.append(pred)
-                gts.append(gt)
+            if s == 0 and fvd is not None:
+                # accumulate 400-d I3D features batch-wise (one latent draw
+                # per sequence) — never the raw frames
+                fake_feats.append(fvd.features(dm.renorm(pred)))
+                real_feats.append(fvd.features(dm.renorm(gt)))
             # renorm + upload each frame slice ONCE, shared by all metrics
             frames_t = [(jnp.asarray(dm.renorm(pred[:, t])),
                          jnp.asarray(dm.renorm(gt[:, t])))
@@ -160,6 +190,15 @@ def evaluate(cfg: Config, fvd_i3d_ckpt: str | None = None,
                     else np.argmin(seq_mean, axis=0))      # (N,)
             chosen = stacked[best, np.arange(n)]           # (N, T)
             totals[name] += chosen.sum(axis=0)
+        if baseline:
+            # copy-nearest-observed baseline shares the last sample's GT
+            # slices (frames_t[t][1])
+            obs = observed(batch)
+            for t in range(T_m):
+                bp = jnp.asarray(dm.renorm(obs[:, nearest[t]]))
+                for name, fn in metric_fns.items():
+                    base_totals[name][t] += float(
+                        np.sum(_per_seq_metric(fn, bp, frames_t[t][1])))
         count += n
 
     results = {"task": task, "num_samples": num_samples}
@@ -167,14 +206,17 @@ def evaluate(cfg: Config, fvd_i3d_ckpt: str | None = None,
         per_t = totals[name] / max(count, 1)
         results[f"{name}_per_t"] = per_t.tolist()
         results[name] = float(per_t.mean())
+    if baseline:
+        for name in metric_fns:
+            per_t = base_totals[name] / max(count, 1)
+            results[f"{name}_baseline_per_t"] = per_t.tolist()
+            results[f"{name}_baseline"] = float(per_t.mean())
 
-    if fvd_i3d_ckpt is not None:
-        from npvp_tpu.eval.fvd import FVD
+    if fvd is not None:
+        from npvp_tpu.eval.fvd import frechet_distance
 
-        fvd = FVD.from_checkpoint(fvd_i3d_ckpt)
-        fakes = np.concatenate([dm.renorm(f) for f in first_sample_preds])
-        reals = np.concatenate([dm.renorm(g) for g in gts])
-        results["FVD"] = fvd(fakes, reals)
+        results["FVD"] = frechet_distance(np.concatenate(fake_feats),
+                                          np.concatenate(real_feats))
     return results
 
 
@@ -185,12 +227,14 @@ def main(argv=None):
                         help="best-of-N latent draws (NPVP-S only)")
     parser.add_argument("--i3d_ckpt", type=str, default=None,
                         help="converted I3D weights (.pkl) for FVD")
+    parser.add_argument("--baseline", action="store_true",
+                        help="add copy-nearest-observed-frame metric rows")
     parser.add_argument("--max_batches", type=int, default=None)
     parser.add_argument("--out", type=str, default=None)
     args = parser.parse_args(argv)
     cfg = load_cli_config(args)
     results = evaluate(cfg, args.i3d_ckpt, args.max_batches, task=args.task,
-                       num_samples=args.num_samples)
+                       num_samples=args.num_samples, baseline=args.baseline)
     text = json.dumps(results, indent=2)
     print(text)
     if args.out:

@@ -107,3 +107,45 @@ def test_i3d_architecture_shapes():
     feats = fvd.features(vids, batch_size=2)
     assert feats.shape == (2, 400)
     assert np.isfinite(feats).all()
+
+
+def test_evaluate_streams_fvd_features(monkeypatch, tmp_path):
+    """The evaluation loop accumulates I3D *features* batch-wise (never the
+    raw frame sets — round-2 VERDICT item 7) and reports an FVD scalar.
+    The I3D network is stubbed: this pins the streaming wiring, not I3D."""
+    from npvp_tpu.core.config import Config
+    from npvp_tpu.eval import evaluate as ev
+    from npvp_tpu.eval import fvd as fvd_mod
+
+    calls = {"n": 0, "sizes": []}
+
+    class _StubFVD:
+        def features(self, videos, batch_size=8):
+            videos = np.asarray(videos)
+            calls["n"] += 1
+            calls["sizes"].append(videos.shape[0])
+            rng = np.random.default_rng(videos.shape[0])
+            return rng.standard_normal((videos.shape[0], 16)).astype(
+                np.float32)
+
+    monkeypatch.setattr(fvd_mod.FVD, "from_checkpoint",
+                        classmethod(lambda cls, p: _StubFVD()))
+
+    cfg = Config()
+    p = cfg.Predictor
+    p.embed_dim, p.num_heads = 64, 4
+    p.transformer_layers, p.evt_former_num_layers = 2, 1
+    p.dim_feedforward, p.evt_hidden_channels = 128, 32
+    p.max_T = 15
+    cfg.AE.ngf, cfg.AE.n_downsampling = 8, 3
+    cfg.Dataset.name = "SMMNIST"
+    cfg.Dataset.batch_size = 2
+    cfg.Dataset.num_workers = 1
+    cfg.validate()
+    res = ev.evaluate(cfg, fvd_i3d_ckpt="stub", max_batches=2,
+                      random_init=True, task="VFP")
+    assert np.isfinite(res["FVD"])
+    # one fake + one real featurization per batch — streamed, not one
+    # concatenated call at the end
+    assert calls["n"] == 4
+    assert all(s == 2 for s in calls["sizes"])
