@@ -38,6 +38,11 @@ class EnvConfig:
     # shard activations' spatial H axis over the model mesh axis (Megatron-SP
     # layout; see core.mesh.sequence_parallel). Needs mesh_shape model > 1.
     sequence_parallel: bool = False
+    # gradient steps executed per device dispatch (lax.scan over a stacked
+    # chunk of batches). >1 amortizes host→device dispatch latency — decisive
+    # on high-RTT runtimes (the tunneled chip pays 10-1000 ms per dispatch);
+    # identical math/rng stream to per-step dispatch (tests/test_training.py)
+    steps_per_dispatch: int = 1
 
 
 @dataclasses.dataclass
@@ -90,6 +95,10 @@ class PredictorConfig:
     start_epoch: int = 0
     epochs: int = 600
     log_per_epochs: int = 5
+    # checkpoint every N epochs (1 = reference behavior). On tunneled
+    # runtimes a save pulls the full optimizer state device→host (~1.2 GB at
+    # flagship scale), so sparser saves matter for wall-clock.
+    ckpt_per_epochs: int = 1
 
     rand_context: bool = False
     min_lo: int = 4
@@ -174,7 +183,7 @@ class Config:
             raise ValueError("embed_dim must be divisible by num_heads")
         if p.fuse_method not in ("Add", "SPADE"):
             raise ValueError(f"unknown fuse_method {p.fuse_method!r}")
-        if p.exec_mode not in ("xla", "int8"):
+        if p.exec_mode not in ("xla", "int8", "pallas"):
             raise ValueError(f"unknown exec_mode {p.exec_mode!r}")
         if self.AE.out_layer not in ("Tanh", "Sigmoid"):
             raise ValueError(f"unsupported AE.out_layer {self.AE.out_layer!r}")

@@ -208,8 +208,10 @@ def build_predictor(cfg, dtype=jnp.float32,
     """Construct an NPPredictor from a Config (npvp_tpu.core.config).
 
     ``exec_mode`` overrides ``cfg.Predictor.exec_mode``: "xla" (composable,
-    training/autodiff) or "int8" (dynamic-int8 serving matmuls). One
-    parameter set serves every mode."""
+    training/autodiff), "int8" (dynamic-int8 serving matmuls), or "pallas"
+    (fused temporal/cross attention kernel on the deterministic serving
+    path — npvp_tpu.kernels.temporal_attention). One parameter set serves
+    every mode."""
     p = cfg.Predictor
     return NPPredictor(
         embed_dim=p.embed_dim,

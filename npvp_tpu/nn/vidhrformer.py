@@ -441,17 +441,17 @@ class TemporalAttention(nn.Module):
                 pk = pk + evt_qk[..., HD:]
             pos_q = posmm(pos_beta_q, wq_f, bq, T)
             pos_k = posmm(pos_beta_q, wk_f, bk, T)
-            q = heads(a5 * pq + (b5 * ones_q + pos_q).astype(self.dtype))
-            k = heads(a5 * pk + (b5 * ones_k + pos_k).astype(self.dtype))
-            v = heads(pv + bv.astype(self.dtype))
+            qf = a5 * pq + (b5 * ones_q + pos_q).astype(self.dtype)
+            kf = a5 * pk + (b5 * ones_k + pos_k).astype(self.dtype)
+            vf = pv + bv.astype(self.dtype)
         else:  # encoder-decoder cross-attention: v_in == k_in == memory
             s_in = q_in if evt_q is None else q_in + evt_q
             aq, bq_s = frame_affine_stats(s_in)
             sT = perm5(s_in)
             pq = _matmul(sT, wq_f, self.dtype, quant)
             pos_q = posmm(pos_beta_q, wq_f, bq, T)
-            q = heads(perm5(aq).astype(self.dtype) * pq
-                      + (perm5(bq_s) * ones_q + pos_q).astype(self.dtype))
+            qf = (perm5(aq).astype(self.dtype) * pq
+                  + (perm5(bq_s) * ones_q + pos_q).astype(self.dtype))
             To = k_in.shape[1]
             ak, bk_s = frame_affine_stats(k_in)
             if cross_pkv is None:
@@ -462,15 +462,32 @@ class TemporalAttention(nn.Module):
             else:  # stack-hoisted projection (same math, one wide matmul)
                 Pk, Pv = cross_pkv
             pos_k = posmm(pos_beta_kv, wk_f, bk, To)
-            k = heads(perm5(ak).astype(self.dtype) * Pk
-                      + (perm5(bk_s) * ones_k + pos_k).astype(self.dtype))
-            v = heads(Pv + bv.astype(self.dtype))
-        rng = None
-        if self.dropout > 0.0 and not deterministic:
-            rng = self.make_rng("dropout")
-        out = scaled_dot_product_attention(
-            q, k, v, mask=mask, dropout_rate=self.dropout,
-            dropout_rng=rng, deterministic=deterministic)
+            kf = (perm5(ak).astype(self.dtype) * Pk
+                  + (perm5(bk_s) * ones_k + pos_k).astype(self.dtype))
+            vf = Pv + bv.astype(self.dtype)
+        Nq, Hs, Ws, Tq = qf.shape[:4]
+        B = Nq * Hs * Ws
+        if (self.exec_mode == "pallas" and deterministic and B % 64 == 0):
+            # fused per-site attention kernel: head-split, logits, softmax
+            # and weighted sum stay in VMEM in the (B, T, HD) layout the
+            # projections produce — no XLA attention-layout relayouts
+            from npvp_tpu.kernels.temporal_attention import (allow_to_bias,
+                                                             temporal_attention)
+
+            Tk = kf.shape[3]
+            bias = allow_to_bias(allow) if allow is not None else None
+            out = temporal_attention(
+                qf.reshape(B, Tq, HD), kf.reshape(B, Tk, HD),
+                vf.reshape(B, Tk, HD), bias, num_heads=nh)
+            out = out.reshape(Nq, Hs, Ws, Tq, nh, hd)
+        else:
+            rng = None
+            if self.dropout > 0.0 and not deterministic:
+                rng = self.make_rng("dropout")
+            out = scaled_dot_product_attention(
+                heads(qf), heads(kf), heads(vf), mask=mask,
+                dropout_rate=self.dropout, dropout_rng=rng,
+                deterministic=deterministic)
         out = _out_proj(out, params, self.dtype, quant=quant)
         return out.transpose(0, 3, 1, 2, 4)
 

@@ -1,0 +1,99 @@
+"""Fused temporal-attention Pallas kernel: numerics vs the XLA path.
+
+The kernel (npvp_tpu/kernels/temporal_attention.py) serves the per-site T×T
+attentions (reference models/VidHRFormer.py:94-107 temporal MHSA, :214-222
+cross-attention) on the deterministic serving path (``exec_mode="pallas"``).
+On CPU the Pallas interpreter runs the same kernel logic, so these tests pin
+the math without TPU hardware.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from npvp_tpu.kernels.temporal_attention import (allow_to_bias,
+                                                 temporal_attention)
+from npvp_tpu.nn.layers import scaled_dot_product_attention
+
+
+def _ref(q, k, v, nh, allow=None):
+    B, Tq, HD = q.shape
+    Tk = k.shape[1]
+    hd = HD // nh
+    mask = None if allow is None else jnp.asarray(allow)[None, None]
+    out = scaled_dot_product_attention(
+        q.reshape(B, Tq, nh, hd), k.reshape(B, Tk, nh, hd),
+        v.reshape(B, Tk, nh, hd), mask=mask)
+    return np.asarray(out.reshape(B, Tq, HD))
+
+
+def test_kernel_matches_xla_attention():
+    rng = np.random.default_rng(0)
+    B, Tq, Tk, nh, hd = 8, 5, 7, 4, 16
+    HD = nh * hd
+    q = jnp.asarray(rng.standard_normal((B, Tq, HD)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, Tk, HD)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, Tk, HD)), jnp.float32)
+    out = np.asarray(temporal_attention(q, k, v, num_heads=nh,
+                                        block_sites=4))
+    np.testing.assert_allclose(out, _ref(q, k, v, nh), atol=1e-5)
+
+
+def test_kernel_respects_allow_mask():
+    rng = np.random.default_rng(1)
+    B, T, nh, hd = 4, 6, 2, 8
+    HD = nh * hd
+    q = jnp.asarray(rng.standard_normal((B, T, HD)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, T, HD)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, T, HD)), jnp.float32)
+    allow = rng.random((T, T)) > 0.4
+    allow[:, 0] = True  # every query keeps at least one key
+    out = np.asarray(temporal_attention(q, k, v, allow_to_bias(allow),
+                                        num_heads=nh, block_sites=4))
+    np.testing.assert_allclose(out, _ref(q, k, v, nh, allow), atol=1e-5)
+
+
+def test_pallas_exec_mode_matches_xla_predictor():
+    """Full NPPredictor forward: exec_mode="pallas" ≡ "xla" on the same
+    parameters (one param set across execution paths — CLAUDE.md rule)."""
+    from npvp_tpu.core.config import Config
+    from npvp_tpu.models.coords import coordinate_grid, spatial_index_lists
+    from npvp_tpu.models.predictor import build_predictor
+
+    cfg = Config()
+    p = cfg.Predictor
+    p.embed_dim, p.num_heads = 64, 4
+    p.transformer_layers, p.evt_former_num_layers = 2, 1
+    p.dim_feedforward, p.evt_hidden_channels = 128, 32
+    p.max_T, p.max_H, p.max_W = 8, 8, 8  # H·W = 64 sites (kernel block)
+    p.stochastic = True
+    cfg.Dataset.num_past_frames = cfg.Dataset.num_future_frames = 4
+    cfg.AE.ngf, cfg.AE.n_downsampling = 8, 3
+    cfg.validate()
+
+    rng = np.random.default_rng(2)
+    feats = jnp.asarray(rng.standard_normal((1, 4, 8, 8, 64)) * 0.3,
+                        jnp.float32)
+    h, w = spatial_index_lists(p.max_H, p.max_W)
+    oc = coordinate_grid(jnp.arange(4, dtype=jnp.float32), h, w,
+                         p.max_T, p.max_H, p.max_W)
+    tc = coordinate_grid(jnp.arange(4, 8, dtype=jnp.float32), h, w,
+                         p.max_T, p.max_H, p.max_W)
+
+    xla = build_predictor(cfg, jnp.float32, exec_mode="xla")
+    variables = xla.init({"params": jax.random.key(0),
+                          "latent": jax.random.key(1)}, feats, oc, tc, 4)
+    out_xla = xla.apply(variables, feats, oc, tc, 4,
+                        rngs={"latent": jax.random.key(2)})
+    pallas = build_predictor(cfg, jnp.float32, exec_mode="pallas")
+    out_pallas = pallas.apply(variables, feats, oc, tc, 4,
+                              rngs={"latent": jax.random.key(2)})
+    np.testing.assert_allclose(np.asarray(out_pallas.pred_features),
+                               np.asarray(out_xla.pred_features), atol=2e-5)
+
+
+def test_kernel_rejects_indivisible_sites():
+    q = jnp.zeros((6, 2, 8))
+    with pytest.raises(AssertionError, match="divisible"):
+        temporal_attention(q, q, q, num_heads=2, block_sites=4)
