@@ -40,7 +40,10 @@ class AverageMeters:
             self._sums[k].append(v)
 
     def averages(self) -> Dict[str, float]:
-        return {k: float(np.mean([float(x) for x in v]))
+        # entries may be scalars or (K,) per-step stacks from multi-step
+        # dispatch — every step weighs equally either way
+        return {k: float(np.mean(np.concatenate(
+                    [np.atleast_1d(np.asarray(x, np.float32)) for x in v])))
                 for k, v in self._sums.items()}
 
     def reset(self):

@@ -20,6 +20,7 @@ losses → update) is ONE donated XLA program per mode.
 from __future__ import annotations
 
 import sys
+from types import SimpleNamespace
 from typing import Optional, Tuple
 
 import jax
@@ -182,27 +183,73 @@ def make_steps(cfg: Config, predictor: NPPredictor, ae: FrameAutoEncoder,
                 metrics["KL_loss"] = kl
             return loss, (metrics, mutated["batch_stats"])
 
-    def train_step(state: TrainState, batch, rng):
+    def _train_one(state: TrainState, batch, rng):
         grad_fn = jax.value_and_grad(forward, has_aux=True)
         (_, (metrics, new_stats)), grads = grad_fn(
             state.params, state.batch_stats, batch, rng, True)
         state = state.apply_gradients(grads, new_stats)
         return state, metrics
 
+    def train_step(state: TrainState, batch, rng):
+        return _train_one(state, batch, rng)
+
     def eval_step(state: TrainState, batch, rng):
         _, (metrics, _) = forward(state.params, state.batch_stats, batch,
                                   rng, False)
         return {k + "_val": v for k, v in metrics.items()}
 
+    # -- multi-step dispatch: K gradient steps per device program ------------
+    # On high-dispatch-latency runtimes (the tunneled TPU pays 10-1000 ms per
+    # program dispatch) per-step dispatch dominates wall-clock. lax.scan over
+    # a stacked chunk of K batches runs K optimizer steps in ONE program;
+    # per-step rng is fold_in(base_rng, state.step) — the same stream the
+    # per-step loop uses, so the two paths are bit-identical.
+    def train_multi(state: TrainState, batches, base_rng):
+        def body(st, batch):
+            st, m = _train_one(st, batch,
+                               jax.random.fold_in(base_rng, st.step))
+            return st, m
+        return jax.lax.scan(body, state, batches)
+
+    def eval_multi(state: TrainState, batches, base_rng, i0):
+        def body(i, batch):
+            m = eval_step(state, batch, jax.random.fold_in(base_rng, i))
+            return i + 1, m
+        _, ms = jax.lax.scan(body, jnp.asarray(i0, jnp.int32), batches)
+        return ms
+
     train_step = jax.jit(train_step, donate_argnums=0)
-    eval_step = jax.jit(eval_step)
+    eval_step_j = jax.jit(eval_step)
+    train_multi = jax.jit(train_multi, donate_argnums=0)
+    eval_multi = jax.jit(eval_multi)
 
     def place(batch):
         # single-host: device_put over the data axis; multi-host: global
         # array assembly from process-local shards (masks replicated)
         return shard_batch(mesh, batch)
 
-    return train_step, eval_step, place, decode, encode
+    def place_stack(chunk):
+        """Stack a list of raw batches along a new leading K axis and place
+        with the *second* axis over the data mesh (masks replicated)."""
+        stacked = {k: np.stack([b[k] for b in chunk]) for k in chunk[0]}
+        if jax.process_count() > 1:
+            placed = [shard_batch(mesh, b) for b in chunk]
+            return jax.tree.map(lambda *xs: jnp.stack(xs), *placed)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from npvp_tpu.core.mesh import DATA_AXIS
+
+        def put(name, leaf):
+            if name.endswith("_mask") or np.ndim(leaf) <= 2:
+                return jax.device_put(leaf, NamedSharding(mesh, P()))
+            return jax.device_put(
+                leaf, NamedSharding(mesh, P(None, DATA_AXIS)))
+
+        return {k: put(k, v) for k, v in stacked.items()}
+
+    multi = SimpleNamespace(train=train_multi, eval=eval_multi,
+                            place_stack=place_stack)
+    return train_step, eval_step_j, place, decode, encode, multi
 
 
 def make_gan_steps(cfg: Config, predictor: NPPredictor, ae: FrameAutoEncoder,
@@ -215,7 +262,7 @@ def make_gan_steps(cfg: Config, predictor: NPPredictor, ae: FrameAutoEncoder,
     from npvp_tpu.nn.discriminator import PatchDiscriminator, gan_loss
 
     p = cfg.Predictor
-    base_train, base_eval, place, decode, encode = make_steps(
+    base_train, base_eval, place, decode, encode, _ = make_steps(
         cfg, predictor, ae, ae_vars, mesh, mode)
     # shrink the PatchGAN depth for small frames (each stride-2 layer
     # halves the map; 4x4 convs need >=2px inputs)
@@ -381,37 +428,69 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> TrainState:
         state = shard_state(mesh, state)  # restored arrays → mesh layout
 
     logger = MetricsLogger(cfg.Predictor.tensorboard_save_dir)
-    train_step, eval_step, place, decode, encode = make_steps(
+    train_step, eval_step, place, decode, encode, multi = make_steps(
         cfg, predictor, ae, ae_vars, mesh, mode)
     cfg.save(f"{cfg.Predictor.ckpt_save_dir}/config.json")
 
+    K = max(1, cfg.Env.steps_per_dispatch)
     base_rng = jax.random.key(cfg.Env.rand_seed)
     step = int(state.step)
+    vis_memo = {}  # jitted visual-callback program, compiled once
+
+    def flush_train(state, chunk, meters):
+        """Dispatch a chunk of batches: one program for len(chunk) steps.
+        The per-step rng is fold_in(base_rng, state.step) on BOTH paths, so
+        chunking does not change the training stream."""
+        if len(chunk) == 1:
+            state, metrics = train_step(
+                state, place(chunk[0]),
+                jax.random.fold_in(base_rng, int(state.step)))
+        else:
+            state, metrics = multi.train(state, multi.place_stack(chunk),
+                                         base_rng)
+        meters.update(metrics)
+        return state
+
     for epoch in range(start_epoch, cfg.Predictor.epochs):
         train_loader.set_epoch(epoch)
         meters = AverageMeters()
+        chunk = []
         for batch in train_loader:
             maybe_start_profiler(cfg, step)
-            state, metrics = train_step(state, place(batch),
-                                        jax.random.fold_in(base_rng, step))
-            meters.update(metrics)
+            chunk.append(batch)
             step += 1
+            if len(chunk) == K:
+                state = flush_train(state, chunk, meters)
+                chunk = []
             if max_steps is not None and step >= max_steps:
                 break
+        if chunk:
+            state = flush_train(state, chunk, meters)
 
         val_meters = AverageMeters()
         val_rng = jax.random.fold_in(base_rng, 10 ** 9 + epoch)
-        for i, batch in enumerate(val_loader):
+        vchunk, vi = [], 0
+        for batch in val_loader:
+            vchunk.append(batch)
+            if len(vchunk) == K and K > 1:
+                val_meters.update(multi.eval(
+                    state, multi.place_stack(vchunk), val_rng, vi))
+                vi += K
+                vchunk = []
+        for batch in vchunk:
             val_meters.update(eval_step(state, place(batch),
-                                        jax.random.fold_in(val_rng, i)))
+                                        jax.random.fold_in(val_rng, vi)))
+            vi += 1
         scalars = {**{k + "_train": v for k, v in meters.averages().items()},
                    **val_meters.averages()}
         logger.log_scalars(step, scalars)
         if is_main_process():
             print(f"epoch {epoch}: " + " ".join(
                 f"{k}={v:.5f}" for k, v in scalars.items()))
-        ckpt.save(step, state,
-                  metrics={"loss_val": scalars.get("loss_val", 0.0)})
+        if (epoch % max(1, cfg.Predictor.ckpt_per_epochs) == 0
+                or epoch == cfg.Predictor.epochs - 1):
+            ckpt.save(step, state,
+                      metrics={"loss_val": scalars.get("loss_val", 0.0)})
 
         # GT / prediction GIF triptych (reference VisCallbackPredictor,
         # utils/train_summary.py:49-80), main process only
@@ -420,7 +499,7 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> TrainState:
             try:
                 batch = next(iter(val_loader))
                 _visual_callback(cfg, predictor, state, ae, ae_vars, batch,
-                                 mode, dm, epoch)
+                                 mode, dm, epoch, memo=vis_memo)
             except Exception as exc:  # visualization must never kill a run
                 print(f"visual callback failed: {exc}")
         if max_steps is not None and step >= max_steps:
@@ -433,27 +512,53 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> TrainState:
 
 
 def _visual_callback(cfg, predictor, state, ae, ae_vars, batch, mode, dm,
-                     epoch):
+                     epoch, memo=None):
+    """GT/prediction GIF. The frames→frames program is jitted ONCE and cached
+    in ``memo`` across epochs — an eager predictor.apply here would execute
+    thousands of primitives op-by-op, which on a tunneled runtime costs
+    minutes per callback."""
     p = cfg.Predictor
+    memo = memo if memo is not None else {}
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    enc = lambda x: ae.apply(ae_vars, jnp.asarray(x), train=False,
-                             method=FrameAutoEncoder.encode)
-    dec = lambda f: ae.apply(ae_vars, f, train=False,
-                             method=FrameAutoEncoder.decode)
     if mode == "rand_context":
-        coords = full_coordinate_volume(p.max_T, p.max_H,
-                                        p.max_W).reshape(-1, 3)
-        out = predictor.apply(variables, enc(batch["clip"]), coords, coords,
-                              p.max_T, obs_mask=jnp.asarray(batch["obs_mask"]),
-                              tgt_mask=jnp.asarray(batch["tgt_mask"]),
-                              rngs={"latent": jax.random.key(epoch)})
+        if "fn" not in memo:
+            coords = full_coordinate_volume(p.max_T, p.max_H,
+                                            p.max_W).reshape(-1, 3)
+
+            @jax.jit
+            def fn(variables, ae_vars, clip, om, tm, key):
+                feats = ae.apply(ae_vars, clip, train=False,
+                                 method=FrameAutoEncoder.encode)
+                out = predictor.apply(variables, feats, coords, coords,
+                                      p.max_T, obs_mask=om, tgt_mask=tm,
+                                      rngs={"latent": key})
+                return ae.apply(ae_vars, out.pred_features, train=False,
+                                method=FrameAutoEncoder.decode)
+
+            memo["fn"] = fn
+        pred = memo["fn"](variables, ae_vars, jnp.asarray(batch["clip"]),
+                          jnp.asarray(batch["obs_mask"]),
+                          jnp.asarray(batch["tgt_mask"]),
+                          jax.random.key(epoch))
         gt = batch["clip"][0]
     else:
-        oc, tc, _, num_tgt = build_coords(cfg)
-        out = predictor.apply(variables, enc(batch["past"]), oc, tc, num_tgt,
-                              rngs={"latent": jax.random.key(epoch)})
+        if "fn" not in memo:
+            oc, tc, _, num_tgt = build_coords(cfg)
+
+            @jax.jit
+            def fn(variables, ae_vars, past, key):
+                feats = ae.apply(ae_vars, past, train=False,
+                                 method=FrameAutoEncoder.encode)
+                out = predictor.apply(variables, feats, oc, tc, num_tgt,
+                                      rngs={"latent": key})
+                return ae.apply(ae_vars, out.pred_features, train=False,
+                                method=FrameAutoEncoder.decode)
+
+            memo["fn"] = fn
+        pred = memo["fn"](variables, ae_vars, jnp.asarray(batch["past"]),
+                          jax.random.key(epoch))
         gt = np.concatenate([batch["past"][0], batch["future"][0]], axis=0)
-    pred = np.asarray(dec(out.pred_features)[0], np.float32)
+    pred = np.asarray(pred[0], np.float32)
     save_clip_gifs(
         f"{cfg.Predictor.tensorboard_save_dir}/epoch_{epoch}.gif",
         {"gt": gt, "pred": pred}, renorm=dm.renorm)

@@ -221,3 +221,64 @@ def test_evaluate_cli(tmp_path, small_smmnist, capsys):
     assert "PSNR" in results and "SSIM" in results and "MSE" in results
     assert len(results["PSNR_per_t"]) == cfg.Dataset.test_num_future_frames
     assert np.isfinite(results["PSNR"])
+
+
+def test_multi_step_dispatch_equals_per_step(tmp_path, small_smmnist):
+    """K gradient steps batched into one lax.scan program (multi-step
+    dispatch, Env.steps_per_dispatch) follow the SAME training trajectory as
+    K individual dispatches: the rng stream is identical
+    (fold_in(base_rng, state.step) on both paths); values agree to the
+    last-ulp compile variation between the two XLA programs."""
+    import jax
+    from npvp_tpu.core.mesh import make_mesh, shard_state
+    from npvp_tpu.models.predictor import build_predictor
+    from npvp_tpu.train.stage1_ae import build_ae
+    from npvp_tpu.train.stage2_predictor import (init_predictor_state,
+                                                 make_steps)
+
+    cfg = tiny_config(tmp_path)
+    cfg.Predictor.stochastic = True
+    cfg.Predictor.rand_context = True
+    cfg.Predictor.min_lo = 1
+    cfg.Predictor.max_lo = 3
+    mesh = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+    ae = build_ae(cfg, jnp.float32)
+    d = cfg.Dataset
+    ae_vars = ae.init(jax.random.key(0),
+                      jnp.zeros((1, 2, d.img_size, d.img_size,
+                                 d.img_channels)))
+    predictor = build_predictor(cfg, jnp.float32)
+    T = cfg.Predictor.max_T
+    rng = np.random.default_rng(0)
+    batches = [{"clip": rng.random((2, T, d.img_size, d.img_size, 1),
+                                   np.float32),
+                "obs_mask": np.array([True, False, True, False]),
+                "tgt_mask": np.array([False, True, False, True])}
+               for _ in range(3)]
+    base_rng = jax.random.key(7)
+
+    def fresh_state():
+        return shard_state(mesh, init_predictor_state(cfg, predictor, 10))
+
+    train_step, _, place, _, _, multi = make_steps(
+        cfg, predictor, ae, ae_vars, mesh, mode="rand_context")
+
+    s1 = fresh_state()
+    per_metrics = []
+    for b in batches:
+        s1, m = train_step(s1, place(b),
+                           jax.random.fold_in(base_rng, int(s1.step)))
+        per_metrics.append(float(m["loss"]))
+
+    s2 = fresh_state()
+    s2, ms = multi.train(s2, multi.place_stack(batches), base_rng)
+
+    np.testing.assert_allclose(np.asarray(ms["loss"], np.float32),
+                               np.asarray(per_metrics, np.float32),
+                               rtol=1e-6)
+    # Adam amplifies last-ulp gradient differences early (update magnitude
+    # ~lr=1e-4); compare absolutely against that scale
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=0, atol=1e-5),
+        s1.params, s2.params)
+    assert int(s2.step) == 3
