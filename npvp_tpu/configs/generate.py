@@ -53,13 +53,15 @@ VARIANTS = [
     ("Unified_NPVP-S", True, True, False),
 ]
 
-# which variants each dataset ships (matching the reference matrix; VFI only
-# for KTH + SMMNIST, Unified only for KTH)
+# which variants each dataset ships (the reference matrix — VFI only for
+# KTH + SMMNIST, Unified only for KTH — plus SMMNIST Unified beyond the
+# reference: SM-MNIST is procedurally generated, so it is the one dataset on
+# which the five-task unified protocol can train/evaluate hermetically)
 SHIPPED = {
     "KTH": ["Autoencoder", "VFP_NPVP-D", "VFP_NPVP-S", "VFI_NPVP-D",
             "VFI_NPVP-S", "Unified_NPVP-D", "Unified_NPVP-S"],
     "SMMNIST": ["Autoencoder", "VFP_NPVP-D", "VFP_NPVP-S", "VFI_NPVP-D",
-                "VFI_NPVP-S"],
+                "VFI_NPVP-S", "Unified_NPVP-D", "Unified_NPVP-S"],
     "BAIR": ["Autoencoder", "VFP_NPVP-D", "VFP_NPVP-S"],
     "Cityscapes": ["Autoencoder", "VFP_NPVP-D", "VFP_NPVP-S"],
     "KITTI": ["Autoencoder", "VFP_NPVP-D", "VFP_NPVP-S"],
