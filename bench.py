@@ -33,14 +33,17 @@ import numpy as np
 REFERENCE_FPS = 64 * 10 / 0.79  # ≈ 810 predicted frames/s (steady state)
 REFERENCE_TRAIN_MS = 404.0      # round-1 measured train step (this repo)
 
-# Serving exec mode for the headline number. Measured on v5e (round 2,
-# tools/perf_probe.py + tools/dot_probe.py): this model's matmuls
-# (K,N ∈ {512, 2048}) are HBM-bandwidth-bound, not MXU-bound — raw int8 dots
-# run at 1.01x bf16, and the dynamic-quant composition ("int8" mode) LOSES
-# end-to-end (221.6 vs 179.5 ms/batch) because quantization adds traffic.
-# The int8 path stays available for compute-bound shapes; the headline runs
-# the fused-kernel bf16 path.
-SERVING_EXEC_MODE = "xla"
+# Serving exec mode for the headline number.
+# - "pallas" (round 3): fused per-site attention kernel for the temporal,
+#   cross and window attentions (npvp_tpu/kernels/temporal_attention.py) —
+#   won the interleaved A/B vs "xla" in 11/12 pairs across two runs
+#   (medians 1.17 and 1.12, tools/ab_pallas.py), by keeping XLA's
+#   attention-layout relayouts in VMEM.
+# - int8 measured (round 2): this model's matmuls (K,N ∈ {512, 2048}) are
+#   HBM-bandwidth-bound — raw int8 dots run at ~1x bf16 and the dynamic-quant
+#   composition LOSES end-to-end (221.6 vs 179.5 ms/batch); the int8 path
+#   stays available for compute-bound shapes.
+SERVING_EXEC_MODE = "pallas"
 
 
 def _cost_diag(compiled, seconds, label):

@@ -40,6 +40,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 
+# default sites per grid block: 64 fills VMEM without overflowing the 16 MB
+# scoped limit at flagship shapes (T=20, HD=512, double-buffered in/out).
+# Call sites gate on divisibility by this; tests shrink it to cover tiny
+# shapes.
+BLOCK_SITES = 64
+
 
 def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, num_heads: int):
     S, Tq, HD = q_ref.shape
@@ -70,7 +76,7 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, num_heads: int):
 @functools.partial(jax.jit,
                    static_argnames=("num_heads", "block_sites", "interpret"))
 def temporal_attention(q, k, v, bias=None, *, num_heads: int,
-                       block_sites: int = 64,
+                       block_sites: int | None = None,
                        interpret: bool | None = None) -> jnp.ndarray:
     """Per-site attention: q (B, Tq, H·D), k/v (B, Tk, H·D) → (B, Tq, H·D).
 
@@ -81,6 +87,8 @@ def temporal_attention(q, k, v, bias=None, *, num_heads: int,
     Pallas interpreter off-TPU (CPU tests), the compiled Mosaic kernel on
     TPU.
     """
+    if block_sites is None:
+        block_sites = BLOCK_SITES
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, Tq, HD = q.shape

@@ -217,15 +217,31 @@ class SpatialWindowAttention(nn.Module):
             ).reshape(1, 1, nW, ws * ws, 1)
             b4 = b4 * pad_mask
         heads = lambda t: t.reshape(t.shape[:-1] + (nh, hd))
-        q = heads(a4 * pq + (b4 * ones_q + pos_q).astype(self.dtype))
-        k = heads(a4 * pk + (b4 * ones_k + pos_k).astype(self.dtype))
-        v = heads(pv + bv.astype(self.dtype))
-        rng = None
-        if self.dropout > 0.0 and not deterministic:
-            rng = self.make_rng("dropout")
-        out = scaled_dot_product_attention(
-            q, k, v, dropout_rate=self.dropout, dropout_rng=rng,
-            deterministic=deterministic)           # (N, T, nW, w², nh, hd)
+        qf = a4 * pq + (b4 * ones_q + pos_q).astype(self.dtype)
+        kf = a4 * pk + (b4 * ones_k + pos_k).astype(self.dtype)
+        vf = pv + bv.astype(self.dtype)
+        from npvp_tpu.kernels import temporal_attention as ta_kernel
+
+        Bw = N * T * nW
+        if (self.exec_mode == "pallas" and deterministic
+                and Bw % ta_kernel.BLOCK_SITES == 0):
+            # same per-site kernel as the temporal attentions: each window is
+            # a 'site' with ws² tokens — head split/softmax/weighted sum stay
+            # in VMEM in the (B, ws², HD) layout the projection produced
+            from npvp_tpu.kernels.temporal_attention import temporal_attention
+
+            out = temporal_attention(
+                qf.reshape(Bw, ws * ws, HD), kf.reshape(Bw, ws * ws, HD),
+                vf.reshape(Bw, ws * ws, HD), num_heads=nh)
+            out = out.reshape(N, T, nW, ws * ws, nh, hd)
+        else:
+            rng = None
+            if self.dropout > 0.0 and not deterministic:
+                rng = self.make_rng("dropout")
+            out = scaled_dot_product_attention(
+                heads(qf), heads(kf), heads(vf), dropout_rate=self.dropout,
+                dropout_rng=rng,
+                deterministic=deterministic)       # (N, T, nW, w², nh, hd)
         out = _out_proj(out, params, self.dtype, quant=quant)
         out = window_reverse(out.reshape(N * T * nW, ws * ws, C), ws,
                              N * T, H, W)
@@ -467,7 +483,10 @@ class TemporalAttention(nn.Module):
             vf = Pv + bv.astype(self.dtype)
         Nq, Hs, Ws, Tq = qf.shape[:4]
         B = Nq * Hs * Ws
-        if (self.exec_mode == "pallas" and deterministic and B % 64 == 0):
+        from npvp_tpu.kernels import temporal_attention as ta_kernel
+
+        if (self.exec_mode == "pallas" and deterministic
+                and B % ta_kernel.BLOCK_SITES == 0):
             # fused per-site attention kernel: head-split, logits, softmax
             # and weighted sum stay in VMEM in the (B, T, HD) layout the
             # projections produce — no XLA attention-layout relayouts

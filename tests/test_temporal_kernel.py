@@ -54,12 +54,17 @@ def test_kernel_respects_allow_mask():
     np.testing.assert_allclose(out, _ref(q, k, v, nh, allow), atol=1e-5)
 
 
-def test_pallas_exec_mode_matches_xla_predictor():
+def test_pallas_exec_mode_matches_xla_predictor(monkeypatch):
     """Full NPPredictor forward: exec_mode="pallas" ≡ "xla" on the same
-    parameters (one param set across execution paths — CLAUDE.md rule)."""
+    parameters (one param set across execution paths — CLAUDE.md rule).
+    BLOCK_SITES is shrunk so the kernel also engages for the window
+    attention's smaller site counts at test shapes."""
     from npvp_tpu.core.config import Config
+    from npvp_tpu.kernels import temporal_attention as ta_kernel
     from npvp_tpu.models.coords import coordinate_grid, spatial_index_lists
     from npvp_tpu.models.predictor import build_predictor
+
+    monkeypatch.setattr(ta_kernel, "BLOCK_SITES", 8)
 
     cfg = Config()
     p = cfg.Predictor
