@@ -26,6 +26,21 @@ dtype (bit-identical softmax statistics to nn/layers.py
 
 Serving-path only: not differentiable (no VJP), no dropout — call sites gate
 on ``deterministic`` exactly like the affine-fusion paths.
+
+Variant record (measured on the real v5e, tools/kbench.py):
+- site blocks >64 (s128/s256): fail to compile — q/k/v/out double-buffered
+  blocks exceed the 16 MB scoped-VMEM limit at flagship shapes.
+- head axis on the grid (hd-wide blocks): rejected by Mosaic — the last
+  block dimension must be divisible by 128 lanes, and hd = 64. Head-split
+  can only live *inside* a kernel whose blocks carry the full H·D axis.
+- fused output projection: per-call the kernel is ~13% slower than the
+  attention-only kernel (3.70 vs 3.27 ms median, interleaved), but it
+  deletes the separate (B·T, H·D)@(H·D, C) projection dot and the context
+  round-trip — end-to-end device time 149.0 vs 152.7 ms (per-module trace
+  join), so FUSE_OPROJ stays on.
+- projecting from a VMEM context scratch with one full-K dot instead of
+  8 accumulated K=hd dots: a wash (3.61 vs 3.55 ms median) — the kernel is
+  not bound by the projection dots; variant deleted.
 """
 
 from __future__ import annotations
@@ -46,36 +61,68 @@ NEG_INF = float(jnp.finfo(jnp.float32).min)
 # shapes.
 BLOCK_SITES = 64
 
+# When True the attention call sites pass the output-projection weights into
+# the kernel (fused: the (B, T, H·D) context never round-trips through HBM).
+# Read at trace time — tools/ab_oproj.py flips it between jit builds to
+# measure fused vs. unfused in one process.
+FUSE_OPROJ = True
+
+
+def _attend_head(q_ref, k_ref, v_ref, bias, h, hd):
+    """One head's site-batched attention: (S, Tq, hd) context vectors."""
+    S, Tq, _ = q_ref.shape
+    Tk = k_ref.shape[1]
+    scale = 1.0 / math.sqrt(hd)
+    sl = slice(h * hd, (h + 1) * hd)
+    qh, kh, vh = q_ref[:, :, sl], k_ref[:, :, sl], v_ref[:, :, sl]
+    # (S, Tq, Tk) ← site-batched q·kᵀ on the MXU
+    logits = jax.lax.dot_general(
+        qh, kh, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    logits = logits * scale + bias[None]
+    # softmax over Tk on a 2D view (Mosaic: no 3D reductions)
+    flat = logits.reshape(S * Tq, Tk)
+    flat = flat - jnp.max(flat, axis=-1, keepdims=True)
+    e = jnp.exp(flat)
+    w = e / jnp.sum(e, axis=-1, keepdims=True)
+    w = w.reshape(S, Tq, Tk).astype(vh.dtype)
+    # (S, Tq, hd) ← site-batched weighted sum (MXU needs a 32-bit acc)
+    return jax.lax.dot_general(
+        w, vh, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+
 
 def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, num_heads: int):
-    S, Tq, HD = q_ref.shape
-    Tk = k_ref.shape[1]
+    HD = q_ref.shape[2]
     hd = HD // num_heads
-    scale = 1.0 / math.sqrt(hd)
     bias = bias_ref[:]  # (Tq, Tk) fp32 additive mask (0 / -inf)
     for h in range(num_heads):
-        sl = slice(h * hd, (h + 1) * hd)
-        qh, kh, vh = q_ref[:, :, sl], k_ref[:, :, sl], v_ref[:, :, sl]
-        # (S, Tq, Tk) ← site-batched q·kᵀ on the MXU
-        logits = jax.lax.dot_general(
-            qh, kh, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        logits = logits * scale + bias[None]
-        # softmax over Tk on a 2D view (Mosaic: no 3D reductions)
-        flat = logits.reshape(S * Tq, Tk)
-        flat = flat - jnp.max(flat, axis=-1, keepdims=True)
-        e = jnp.exp(flat)
-        w = e / jnp.sum(e, axis=-1, keepdims=True)
-        w = w.reshape(S, Tq, Tk).astype(vh.dtype)
-        # (S, Tq, hd) ← site-batched weighted sum (MXU needs a 32-bit acc)
-        o_ref[:, :, sl] = jax.lax.dot_general(
-            w, vh, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+        o_ref[:, :, h * hd:(h + 1) * hd] = _attend_head(
+            q_ref, k_ref, v_ref, bias, h, hd).astype(o_ref.dtype)
+
+
+def _kernel_oproj(q_ref, k_ref, v_ref, bias_ref, wo_ref, bo_ref, o_ref, *,
+                  num_heads: int):
+    """Attention with the output projection fused: the (S, Tq, HD) context
+    tensor never round-trips through HBM — each head's context is projected
+    by its (hd, C) kernel slice and accumulated in fp32."""
+    S, Tq, HD = q_ref.shape
+    hd = HD // num_heads
+    C = wo_ref.shape[1]
+    bias = bias_ref[:]
+    acc = jnp.zeros((S * Tq, C), jnp.float32) + bo_ref[:].astype(jnp.float32)
+    for h in range(num_heads):
+        ctx = _attend_head(q_ref, k_ref, v_ref, bias, h, hd)
+        acc = acc + jnp.dot(ctx.reshape(S * Tq, hd).astype(q_ref.dtype),
+                            wo_ref[h * hd:(h + 1) * hd, :],
+                            preferred_element_type=jnp.float32)
+    o_ref[:, :, :] = acc.reshape(S, Tq, C).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("num_heads", "block_sites", "interpret"))
 def temporal_attention(q, k, v, bias=None, *, num_heads: int,
+                       wo=None, bo=None,
                        block_sites: int | None = None,
                        interpret: bool | None = None) -> jnp.ndarray:
     """Per-site attention: q (B, Tq, H·D), k/v (B, Tk, H·D) → (B, Tq, H·D).
@@ -83,9 +130,11 @@ def temporal_attention(q, k, v, bias=None, *, num_heads: int,
     ``bias``: optional (Tq, Tk) fp32 additive logits mask, shared by all
     sites (use :func:`allow_to_bias` for boolean allow matrices). ``B`` must
     be divisible by ``block_sites`` (serving batches are powers of two; pick
-    a compatible block, e.g. 64/128). ``interpret=None`` auto-selects the
-    Pallas interpreter off-TPU (CPU tests), the compiled Mosaic kernel on
-    TPU.
+    a compatible block, e.g. 64/128). With ``wo`` ((H·D, C) flattened output
+    kernel, optional ``bo`` (C,)) the output projection is fused into the
+    kernel — the per-site context tensor never round-trips through HBM and
+    the result is (B, Tq, C). ``interpret=None`` auto-selects the Pallas
+    interpreter off-TPU (CPU tests), the compiled Mosaic kernel on TPU.
     """
     if block_sites is None:
         block_sites = BLOCK_SITES
@@ -102,24 +151,46 @@ def temporal_attention(q, k, v, bias=None, *, num_heads: int,
         bias = jnp.zeros((Tq, Tk), jnp.float32)
     bias = bias.astype(jnp.float32)
 
+    flops = 4 * B * Tq * Tk * HD
+    traffic = (2 * B * Tq * HD + 2 * B * Tk * HD) * q.dtype.itemsize
     grid = (B // S,)
-    blk = lambda T: pl.BlockSpec((S, T, HD), lambda i: (i, 0, 0),
-                                 memory_space=pltpu.VMEM)
+    whole = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    blk = lambda T, F: pl.BlockSpec((S, T, F), lambda i: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)
+    try:
+        params = pltpu.CompilerParams(dimension_semantics=("parallel",))
+    except TypeError:
+        params = pltpu.CompilerParams()
+    common = dict(grid=grid, interpret=interpret, compiler_params=params)
+    if wo is None:
+        return pl.pallas_call(
+            functools.partial(_kernel, num_heads=num_heads),
+            in_specs=[blk(Tq, HD), blk(Tk, HD), blk(Tk, HD),
+                      whole((Tq, Tk))],
+            out_specs=blk(Tq, HD),
+            out_shape=jax.ShapeDtypeStruct((B, Tq, HD), q.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=flops, bytes_accessed=traffic,
+                transcendentals=B * Tq * Tk * num_heads),
+            **common,
+        )(q, k, v, bias)
+
+    C = wo.shape[-1]
+    assert wo.shape == (HD, C), wo.shape
+    bo2 = (bo if bo is not None else jnp.zeros((C,))).reshape(1, C)
     return pl.pallas_call(
-        functools.partial(_kernel, num_heads=num_heads),
-        grid=grid,
-        in_specs=[blk(Tq), blk(Tk), blk(Tk),
-                  pl.BlockSpec((Tq, Tk), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=blk(Tq),
-        out_shape=jax.ShapeDtypeStruct((B, Tq, HD), q.dtype),
+        functools.partial(_kernel_oproj, num_heads=num_heads),
+        in_specs=[blk(Tq, HD), blk(Tk, HD), blk(Tk, HD), whole((Tq, Tk)),
+                  whole((HD, C)), whole((1, C))],
+        out_specs=blk(Tq, C),
+        out_shape=jax.ShapeDtypeStruct((B, Tq, C), q.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=4 * B * Tq * Tk * HD,
-            bytes_accessed=(2 * B * Tq * HD + 2 * B * Tk * HD)
-            * q.dtype.itemsize,
-            transcendentals=B * Tq * Tk),
-        interpret=interpret,
-    )(q, k, v, bias)
+            flops=flops + 2 * B * Tq * HD * C,
+            bytes_accessed=traffic,
+            transcendentals=B * Tq * Tk * num_heads),
+        **common,
+    )(q, k, v, bias, wo.astype(q.dtype), bo2.astype(jnp.float32))
 
 
 def allow_to_bias(allow) -> jnp.ndarray:

@@ -230,10 +230,18 @@ class SpatialWindowAttention(nn.Module):
             # in VMEM in the (B, ws², HD) layout the projection produced
             from npvp_tpu.kernels.temporal_attention import temporal_attention
 
-            out = temporal_attention(
-                qf.reshape(Bw, ws * ws, HD), kf.reshape(Bw, ws * ws, HD),
-                vf.reshape(Bw, ws * ws, HD), num_heads=nh)
-            out = out.reshape(N, T, nW, ws * ws, nh, hd)
+            if ta_kernel.FUSE_OPROJ:
+                (_, _, _, (wo, bo)) = params
+                out = temporal_attention(
+                    qf.reshape(Bw, ws * ws, HD), kf.reshape(Bw, ws * ws, HD),
+                    vf.reshape(Bw, ws * ws, HD), num_heads=nh,
+                    wo=wo.reshape(HD, -1), bo=bo)  # out-proj fused in-kernel
+            else:
+                out = temporal_attention(
+                    qf.reshape(Bw, ws * ws, HD), kf.reshape(Bw, ws * ws, HD),
+                    vf.reshape(Bw, ws * ws, HD), num_heads=nh)
+                out = _out_proj(out.reshape(N, T, nW, ws * ws, nh, hd),
+                                params, self.dtype, quant=quant)
         else:
             rng = None
             if self.dropout > 0.0 and not deterministic:
@@ -242,7 +250,7 @@ class SpatialWindowAttention(nn.Module):
                 heads(qf), heads(kf), heads(vf), dropout_rate=self.dropout,
                 dropout_rng=rng,
                 deterministic=deterministic)       # (N, T, nW, w², nh, hd)
-        out = _out_proj(out, params, self.dtype, quant=quant)
+            out = _out_proj(out, params, self.dtype, quant=quant)
         out = window_reverse(out.reshape(N * T * nW, ws * ws, C), ws,
                              N * T, H, W)
         return out.reshape(N, T, H, W, C)
@@ -495,18 +503,27 @@ class TemporalAttention(nn.Module):
 
             Tk = kf.shape[3]
             bias = allow_to_bias(allow) if allow is not None else None
-            out = temporal_attention(
-                qf.reshape(B, Tq, HD), kf.reshape(B, Tk, HD),
-                vf.reshape(B, Tk, HD), bias, num_heads=nh)
-            out = out.reshape(Nq, Hs, Ws, Tq, nh, hd)
-        else:
-            rng = None
-            if self.dropout > 0.0 and not deterministic:
-                rng = self.make_rng("dropout")
-            out = scaled_dot_product_attention(
-                heads(qf), heads(kf), heads(vf), mask=mask,
-                dropout_rate=self.dropout, dropout_rng=rng,
-                deterministic=deterministic)
+            if ta_kernel.FUSE_OPROJ:
+                (_, _, _, (wo, bo)) = params
+                out = temporal_attention(
+                    qf.reshape(B, Tq, HD), kf.reshape(B, Tk, HD),
+                    vf.reshape(B, Tk, HD), bias, num_heads=nh,
+                    wo=wo.reshape(HD, -1), bo=bo)  # out-proj fused in-kernel
+                out = out.reshape(Nq, Hs, Ws, Tq, -1)
+            else:
+                out = temporal_attention(
+                    qf.reshape(B, Tq, HD), kf.reshape(B, Tk, HD),
+                    vf.reshape(B, Tk, HD), bias, num_heads=nh)
+                out = _out_proj(out.reshape(Nq, Hs, Ws, Tq, nh, hd),
+                                params, self.dtype, quant=quant)
+            return out.transpose(0, 3, 1, 2, 4)
+        rng = None
+        if self.dropout > 0.0 and not deterministic:
+            rng = self.make_rng("dropout")
+        out = scaled_dot_product_attention(
+            heads(qf), heads(kf), heads(vf), mask=mask,
+            dropout_rate=self.dropout, dropout_rng=rng,
+            deterministic=deterministic)
         out = _out_proj(out, params, self.dtype, quant=quant)
         return out.transpose(0, 3, 1, 2, 4)
 

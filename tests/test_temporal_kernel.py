@@ -54,17 +54,38 @@ def test_kernel_respects_allow_mask():
     np.testing.assert_allclose(out, _ref(q, k, v, nh, allow), atol=1e-5)
 
 
-def test_pallas_exec_mode_matches_xla_predictor(monkeypatch):
+def test_kernel_fused_oproj_matches_separate():
+    """wo/bo passed into the kernel ≡ attention followed by a dense
+    projection (fp32 math, per-head accumulation order)."""
+    rng = np.random.default_rng(3)
+    B, Tq, Tk, nh, hd, C = 8, 5, 7, 4, 16, 48
+    HD = nh * hd
+    q = jnp.asarray(rng.standard_normal((B, Tq, HD)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, Tk, HD)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, Tk, HD)), jnp.float32)
+    wo = jnp.asarray(rng.standard_normal((HD, C)) * 0.1, jnp.float32)
+    bo = jnp.asarray(rng.standard_normal((C,)), jnp.float32)
+    fused = np.asarray(temporal_attention(q, k, v, num_heads=nh,
+                                          wo=wo, bo=bo, block_sites=4))
+    assert fused.shape == (B, Tq, C)
+    sep = _ref(q, k, v, nh) @ np.asarray(wo) + np.asarray(bo)
+    np.testing.assert_allclose(fused, sep, atol=1e-4)
+
+
+@pytest.mark.parametrize("fuse", [True, False])
+def test_pallas_exec_mode_matches_xla_predictor(monkeypatch, fuse):
     """Full NPPredictor forward: exec_mode="pallas" ≡ "xla" on the same
     parameters (one param set across execution paths — CLAUDE.md rule).
     BLOCK_SITES is shrunk so the kernel also engages for the window
-    attention's smaller site counts at test shapes."""
+    attention's smaller site counts at test shapes; both FUSE_OPROJ
+    settings must match the XLA path."""
     from npvp_tpu.core.config import Config
     from npvp_tpu.kernels import temporal_attention as ta_kernel
     from npvp_tpu.models.coords import coordinate_grid, spatial_index_lists
     from npvp_tpu.models.predictor import build_predictor
 
     monkeypatch.setattr(ta_kernel, "BLOCK_SITES", 8)
+    monkeypatch.setattr(ta_kernel, "FUSE_OPROJ", fuse)
 
     cfg = Config()
     p = cfg.Predictor
