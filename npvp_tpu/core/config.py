@@ -43,6 +43,11 @@ class EnvConfig:
     # on high-RTT runtimes (the tunneled chip pays 10-1000 ms per dispatch);
     # identical math/rng stream to per-step dispatch (tests/test_training.py)
     steps_per_dispatch: int = 1
+    # force a JAX backend ("cpu" runs quality/eval tools off-TPU while the
+    # chip trains; None keeps the environment default). Applied in
+    # train.common.setup() before first backend use — the axon
+    # sitecustomize pins jax_platforms, so env vars alone cannot override.
+    platform: Optional[str] = None
 
 
 @dataclasses.dataclass

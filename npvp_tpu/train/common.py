@@ -29,6 +29,10 @@ def build_argparser(description: str) -> argparse.ArgumentParser:
 
 def load_cli_config(args) -> Config:
     cfg = load_config(args.config_path, overrides=args.override)
+    if cfg.Env.platform:
+        # honored here (not only setup()) so checkpoint-consuming CLIs
+        # (eval/inference/tools) respect --override Env.platform=cpu too
+        jax.config.update("jax_platforms", cfg.Env.platform)
     if args.smoke:
         cfg.Dataset.dev_set_size = 2 * cfg.Dataset.batch_size
         cfg.AE.epochs = 1
@@ -46,6 +50,8 @@ def setup(cfg: Config):
     process-group init (reference train_AutoEncoder_lightning.py:40-42).
     Single-host otherwise.
     """
+    if cfg.Env.platform:
+        jax.config.update("jax_platforms", cfg.Env.platform)
     if cfg.Env.debug_nans:
         # survey §5.2 sanitizer equivalent: re-runs the offending primitive
         # un-jitted and raises at the first NaN-producing op
