@@ -80,10 +80,14 @@ def _per_seq_metric(metric, pred_t, gt_t):
 def evaluate(cfg: Config, fvd_i3d_ckpt: str | None = None,
              max_batches: int | None = None, random_init: bool = False,
              task: str = "VFP", num_samples: int = 1,
-             baseline: bool = False) -> dict:
+             baseline: bool = False, gif_dir: str | None = None,
+             gif_sequences: int = 4) -> dict:
     """``baseline=True`` adds a copy-nearest-observed-frame row
     (``<metric>_baseline``) — the trivial predictor every learned model must
-    clearly beat for a quality table to mean anything."""
+    clearly beat for a quality table to mean anything. ``gif_dir`` writes
+    GT|prediction side-by-side GIFs (PSNR-best latent draw) for the first
+    ``gif_sequences`` sequences of the first batch (the reference's visual
+    artifact, utils/train_summary.py:233-271)."""
     assert task in TASKS, task
     dm = DataModule(cfg, jax.process_index(), jax.process_count())
     d, p = cfg.Dataset, cfg.Predictor
@@ -165,10 +169,13 @@ def evaluate(cfg: Config, fvd_i3d_ckpt: str | None = None,
     for bi, batch in enumerate(loader):
         # scores[s][name]: (N, T_m) per-sequence per-timestep values
         scores = []
+        first_preds = [] if (gif_dir is not None and bi == 0) else None
         for s in range(num_samples):
             rng = jax.random.fold_in(jax.random.fold_in(base_rng, bi), s)
             pred, gt = predict_and_gt(batch, rng)
             pred = np.asarray(pred, np.float32)[:, metric_idx]
+            if first_preds is not None:
+                first_preds.append(pred)
             if s == 0 and fvd is not None:
                 # accumulate 400-d I3D features batch-wise (one latent draw
                 # per sequence) — never the raw frames
@@ -183,13 +190,25 @@ def evaluate(cfg: Config, fvd_i3d_ckpt: str | None = None,
                    for name, fn in metric_fns.items()}
             scores.append(per)
         n = scores[0]["PSNR"].shape[0]
+        best_by_metric = {}
         for name in metric_fns:
             stacked = np.stack([s[name] for s in scores])  # (S, N, T)
             seq_mean = stacked.mean(axis=2)                # (S, N)
             best = (np.argmax(seq_mean, axis=0) if higher_better[name]
                     else np.argmin(seq_mean, axis=0))      # (N,)
+            best_by_metric[name] = best
             chosen = stacked[best, np.arange(n)]           # (N, T)
             totals[name] += chosen.sum(axis=0)
+        if first_preds is not None:
+            from npvp_tpu.core.metrics import save_clip_gifs
+
+            stack = np.stack(first_preds)                  # (S, N, T, ...)
+            best = best_by_metric["PSNR"]
+            for i in range(min(gif_sequences, n)):
+                save_clip_gifs(
+                    Path(gif_dir) / f"{task}_seq{i}.gif",
+                    {"gt": gt[i], "pred": stack[best[i], i]},
+                    renorm=dm.renorm)
         if baseline:
             # copy-nearest-observed baseline shares the last sample's GT
             # slices (frames_t[t][1])

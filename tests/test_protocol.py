@@ -159,9 +159,12 @@ def test_evaluate_cli_all_tasks_random_init():
         assert np.isfinite(res["PSNR"]) and np.isfinite(res["SSIM"])
         assert len(res["PSNR_per_t"]) >= 1
         # the copy-nearest baseline row is computed on real frames, so on a
-        # RANDOM-INIT model it must beat the model — sanity of both rows
+        # RANDOM-INIT model it must beat the model on SSIM — sanity of both
+        # rows. (PSNR is NOT a valid separator here: SM-MNIST frames are
+        # mostly black, so an untrained tanh-head model emitting near-black
+        # frames out-PSNRs the copy baseline while having no structure.)
         assert np.isfinite(res["PSNR_baseline"])
-        assert res["PSNR_baseline"] > res["PSNR"]
+        assert res["SSIM_baseline"] > res["SSIM"]
 
 
 @pytest.mark.slow

@@ -45,7 +45,8 @@ def main(argv=None):
         t0 = time.time()
         res = evaluate(cfg, max_batches=args.max_batches,
                        random_init=args.random_init, task=task,
-                       num_samples=args.num_samples, baseline=True)
+                       num_samples=args.num_samples, baseline=True,
+                       gif_dir=str(out_dir / "gifs"))
         res["eval_wall_s"] = round(time.time() - t0, 1)
         report["tasks"][task] = res
         print(f"{task}: PSNR {res['PSNR']:.2f} (baseline "
