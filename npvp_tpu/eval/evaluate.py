@@ -81,13 +81,15 @@ def evaluate(cfg: Config, fvd_i3d_ckpt: str | None = None,
              max_batches: int | None = None, random_init: bool = False,
              task: str = "VFP", num_samples: int = 1,
              baseline: bool = False, gif_dir: str | None = None,
-             gif_sequences: int = 4) -> dict:
+             gif_sequences: int = 4, ae_ceiling: bool = False) -> dict:
     """``baseline=True`` adds a copy-nearest-observed-frame row
     (``<metric>_baseline``) — the trivial predictor every learned model must
     clearly beat for a quality table to mean anything. ``gif_dir`` writes
     GT|prediction side-by-side GIFs (PSNR-best latent draw) for the first
     ``gif_sequences`` sequences of the first batch (the reference's visual
-    artifact, utils/train_summary.py:233-271)."""
+    artifact, utils/train_summary.py:233-271). ``ae_ceiling=True`` adds the
+    frozen-AE ground-truth reconstruction row (``<metric>_ae_ceiling``) —
+    the predictor emits AE features, so this is its quality ceiling."""
     assert task in TASKS, task
     dm = DataModule(cfg, jax.process_index(), jax.process_count())
     d, p = cfg.Dataset, cfg.Predictor
@@ -158,6 +160,7 @@ def evaluate(cfg: Config, fvd_i3d_ckpt: str | None = None,
     higher_better = {"PSNR": True, "SSIM": True, "MSE": False}
     totals = {k: np.zeros(T_m) for k in metric_fns}
     base_totals = {k: np.zeros(T_m) for k in metric_fns} if baseline else None
+    ceil_totals = {k: np.zeros(T_m) for k in metric_fns} if ae_ceiling else None
     count = 0
     fvd = None
     fake_feats, real_feats = [], []  # (N, 400) I3D features per batch
@@ -218,6 +221,13 @@ def evaluate(cfg: Config, fvd_i3d_ckpt: str | None = None,
                 for name, fn in metric_fns.items():
                     base_totals[name][t] += float(
                         np.sum(_per_seq_metric(fn, bp, frames_t[t][1])))
+        if ae_ceiling:
+            rec = np.asarray(vp.reconstruct(gt), np.float32)
+            for t in range(T_m):
+                rp = jnp.asarray(dm.renorm(rec[:, t]))
+                for name, fn in metric_fns.items():
+                    ceil_totals[name][t] += float(
+                        np.sum(_per_seq_metric(fn, rp, frames_t[t][1])))
         count += n
 
     results = {"task": task, "num_samples": num_samples}
@@ -230,6 +240,11 @@ def evaluate(cfg: Config, fvd_i3d_ckpt: str | None = None,
             per_t = base_totals[name] / max(count, 1)
             results[f"{name}_baseline_per_t"] = per_t.tolist()
             results[f"{name}_baseline"] = float(per_t.mean())
+    if ae_ceiling:
+        for name in metric_fns:
+            per_t = ceil_totals[name] / max(count, 1)
+            results[f"{name}_ae_ceiling_per_t"] = per_t.tolist()
+            results[f"{name}_ae_ceiling"] = float(per_t.mean())
 
     if fvd is not None:
         from npvp_tpu.eval.fvd import frechet_distance

@@ -46,7 +46,7 @@ def main(argv=None):
         res = evaluate(cfg, max_batches=args.max_batches,
                        random_init=args.random_init, task=task,
                        num_samples=args.num_samples, baseline=True,
-                       gif_dir=str(out_dir / "gifs"))
+                       gif_dir=str(out_dir / "gifs"), ae_ceiling=True)
         res["eval_wall_s"] = round(time.time() - t0, 1)
         report["tasks"][task] = res
         print(f"{task}: PSNR {res['PSNR']:.2f} (baseline "
@@ -60,17 +60,21 @@ def main(argv=None):
         f"# Quality report — {run}",
         "",
         f"config `{args.config_path}` · best-of-{args.num_samples} latent "
-        f"samples · baseline = copy nearest observed frame"
+        f"samples · base = copy nearest observed frame · ceil = frozen-AE "
+        f"GT reconstruction (the predictor's quality ceiling)"
         + (" · **RANDOM INIT (no training)**" if args.random_init else ""),
         "",
-        "| task | PSNR | PSNR base | SSIM | SSIM base | MSE | MSE base |",
-        "|---|---|---|---|---|---|---|",
+        "| task | PSNR | PSNR base | PSNR ceil | SSIM | SSIM base "
+        "| SSIM ceil | MSE | MSE base |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for task, r in report["tasks"].items():
         lines.append(
             f"| {task} | {r['PSNR']:.2f} | "
             f"{r.get('PSNR_baseline', float('nan')):.2f} | "
+            f"{r.get('PSNR_ae_ceiling', float('nan')):.2f} | "
             f"{r['SSIM']:.4f} | {r.get('SSIM_baseline', float('nan')):.4f} |"
+            f" {r.get('SSIM_ae_ceiling', float('nan')):.4f} |"
             f" {r['MSE']:.5f} | {r.get('MSE_baseline', float('nan')):.5f} |")
     for task, r in report["tasks"].items():
         per_t = r.get("PSNR_per_t")
