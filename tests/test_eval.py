@@ -149,3 +149,24 @@ def test_evaluate_streams_fvd_features(monkeypatch, tmp_path):
     # concatenated call at the end
     assert calls["n"] == 4
     assert all(s == 2 for s in calls["sizes"])
+
+
+def test_fused_clip_metrics_match_per_slice_path():
+    """The single-dispatch fused metric kernel (renorm folded in) must equal
+    the per-timestep host path it replaced."""
+    from npvp_tpu.data.transforms import ReNormalize
+    from npvp_tpu.eval.evaluate import _make_clip_metrics, _per_seq_metric
+
+    rng = np.random.default_rng(7)
+    pred = rng.standard_normal((2, 3, 16, 16, 1)).astype(np.float32)
+    gt = pred + 0.1 * rng.standard_normal(pred.shape).astype(np.float32)
+    renorm = ReNormalize(mean=0.5, std=0.25)
+    fused = _make_clip_metrics(renorm)
+    got = fused(pred, gt)
+    for name, fn in (("PSNR", psnr), ("SSIM", ssim), ("MSE", mse_score)):
+        want = np.stack(
+            [_per_seq_metric(fn, jnp.asarray(renorm(pred[:, t])),
+                             jnp.asarray(renorm(gt[:, t])))
+             for t in range(pred.shape[1])], axis=1)
+        np.testing.assert_allclose(got[name], want, rtol=2e-5, atol=2e-5,
+                                   err_msg=name)
