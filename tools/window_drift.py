@@ -16,10 +16,10 @@ KTH 10→20 protocol (which has no in-range alternative — the reference
 asserts t ≤ max_T, models/submodules.py:349-351) pays per extra window.
 
 Usage:
-    python tools/window_drift.py [--config_path <yaml>] [--max_batches N]
+    python tools/window_drift.py --config_path <yaml> [--max_batches N]
+        [--out <json>] [--override k=v ...]
 """
 
-import argparse
 import json
 import pathlib
 import sys
@@ -32,19 +32,18 @@ import numpy as np
 
 
 def main(argv=None):
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--config_path", default=(
-        "npvp_tpu/configs/config_SMMNIST_Unified_NPVP-S.yaml"))
+    from npvp_tpu.train.common import build_argparser, load_cli_config
+
+    ap = build_argparser("sliding-window drift measurement")
     ap.add_argument("--max_batches", type=int, default=16)
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
 
-    from npvp_tpu.core.config import load_config
     from npvp_tpu.data.loader import DataModule
     from npvp_tpu.eval.metrics import psnr, ssim
     from npvp_tpu.models.inference import VideoPredictor
 
-    cfg = load_config(args.config_path)
+    cfg = load_cli_config(args)
     dm = DataModule(cfg)
     vp = VideoPredictor.from_checkpoints(
         cfg, cfg.Predictor.resume_AE_ckpt, cfg.Predictor.ckpt_save_dir,
