@@ -119,8 +119,6 @@ def _kernel_oproj(q_ref, k_ref, v_ref, bias_ref, wo_ref, bo_ref, o_ref, *,
     o_ref[:, :, :] = acc.reshape(S, Tq, C).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("num_heads", "block_sites", "interpret"))
 def temporal_attention(q, k, v, bias=None, *, num_heads: int,
                        wo=None, bo=None,
                        block_sites: int | None = None,
@@ -136,10 +134,23 @@ def temporal_attention(q, k, v, bias=None, *, num_heads: int,
     the result is (B, Tq, C). ``interpret=None`` auto-selects the Pallas
     interpreter off-TPU (CPU tests), the compiled Mosaic kernel on TPU.
     """
+    # defaults resolve OUTSIDE the jit so the actual values land in the
+    # static cache key (a mutated BLOCK_SITES module global must never hit
+    # a program cached under block_sites=None)
     if block_sites is None:
         block_sites = BLOCK_SITES
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    return _temporal_attention(q, k, v, bias, num_heads=num_heads, wo=wo,
+                               bo=bo, block_sites=block_sites,
+                               interpret=interpret)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_heads", "block_sites", "interpret"))
+def _temporal_attention(q, k, v, bias=None, *, num_heads: int,
+                        wo=None, bo=None, block_sites: int = BLOCK_SITES,
+                        interpret: bool = False) -> jnp.ndarray:
     B, Tq, HD = q.shape
     Tk = k.shape[1]
     assert v.shape == k.shape and q.shape[2] == k.shape[2], (q.shape, k.shape)

@@ -231,10 +231,10 @@ def make_steps(cfg: Config, predictor: NPPredictor, ae: FrameAutoEncoder,
     def place_stack(chunk):
         """Stack a list of raw batches along a new leading K axis and place
         with the *second* axis over the data mesh (masks replicated)."""
-        stacked = {k: np.stack([b[k] for b in chunk]) for k in chunk[0]}
         if jax.process_count() > 1:
             placed = [shard_batch(mesh, b) for b in chunk]
             return jax.tree.map(lambda *xs: jnp.stack(xs), *placed)
+        stacked = {k: np.stack([b[k] for b in chunk]) for k in chunk[0]}
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from npvp_tpu.core.mesh import DATA_AXIS
@@ -437,14 +437,17 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> TrainState:
     step = int(state.step)
     vis_memo = {}  # jitted visual-callback program, compiled once
 
-    def flush_train(state, chunk, meters):
+    def flush_train(state, chunk, meters, start_step):
         """Dispatch a chunk of batches: one program for len(chunk) steps.
-        The per-step rng is fold_in(base_rng, state.step) on BOTH paths, so
-        chunking does not change the training stream."""
+        The per-step rng is fold_in(base_rng, step) on BOTH paths, so
+        chunking does not change the training stream. ``start_step`` is the
+        host-side mirror of ``state.step`` at the chunk's first batch —
+        reading ``int(state.step)`` here would block on the in-flight
+        previous dispatch and serialize the loop."""
         if len(chunk) == 1:
             state, metrics = train_step(
                 state, place(chunk[0]),
-                jax.random.fold_in(base_rng, int(state.step)))
+                jax.random.fold_in(base_rng, start_step))
         else:
             state, metrics = multi.train(state, multi.place_stack(chunk),
                                          base_rng)
@@ -460,19 +463,26 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> TrainState:
             chunk.append(batch)
             step += 1
             if len(chunk) == K:
-                state = flush_train(state, chunk, meters)
+                state = flush_train(state, chunk, meters, step - len(chunk))
                 chunk = []
             if max_steps is not None and step >= max_steps:
                 break
         if chunk:
-            state = flush_train(state, chunk, meters)
+            state = flush_train(state, chunk, meters, step - len(chunk))
 
         val_meters = AverageMeters()
         val_rng = jax.random.fold_in(base_rng, 10 ** 9 + epoch)
         vchunk, vi = [], 0
         for batch in val_loader:
+            if K == 1:
+                # evaluate inline — buffering the whole val split in host
+                # RAM is exactly what the streaming eval path avoids
+                val_meters.update(eval_step(state, place(batch),
+                                            jax.random.fold_in(val_rng, vi)))
+                vi += 1
+                continue
             vchunk.append(batch)
-            if len(vchunk) == K and K > 1:
+            if len(vchunk) == K:
                 val_meters.update(multi.eval(
                     state, multi.place_stack(vchunk), val_rng, vi))
                 vi += K
@@ -487,8 +497,11 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> TrainState:
         if is_main_process():
             print(f"epoch {epoch}: " + " ".join(
                 f"{k}={v:.5f}" for k, v in scalars.items()))
+        stopped = max_steps is not None and step >= max_steps
         if (epoch % max(1, cfg.Predictor.ckpt_per_epochs) == 0
-                or epoch == cfg.Predictor.epochs - 1):
+                or epoch == cfg.Predictor.epochs - 1 or stopped):
+            # `stopped` (max_steps break) must persist the final state even
+            # on a ckpt_per_epochs-unaligned epoch
             ckpt.save(step, state,
                       metrics={"loss_val": scalars.get("loss_val", 0.0)})
 

@@ -68,7 +68,11 @@ def main(markdown=False):
     data, path = load_trace()
     meta = module_map()
     cats = collections.defaultdict(lambda: [0.0, 0.0, 0.0, 0.0])
-    ops = []
+    # aggregate by op NAME first: the trace has one event per op per
+    # pipeline iteration — per-event rows would list each op TRACE_ITERS
+    # times at 1/TRACE_ITERS of its per-iteration cost and mis-rank the
+    # headroom table
+    by_op = collections.defaultdict(lambda: [0.0, 0.0, 0.0, ""])
     for ev in data.get("traceEvents", []):
         a = ev.get("args") or {}
         if ev.get("ph") != "X" or "hlo_category" not in a:
@@ -79,8 +83,11 @@ def main(markdown=False):
         sol = max(flops / PEAK_TFLOPS, bytes_ / PEAK_BW) * 1e3  # ms
         c = cats[a["hlo_category"]]
         c[0] += ms; c[1] += flops; c[2] += bytes_; c[3] += sol
-        ops.append((ms, flops, bytes_, sol, ev["name"],
-                    a["hlo_category"]))
+        o = by_op[ev["name"]]
+        o[0] += ms; o[1] += flops; o[2] += bytes_; o[3] = a["hlo_category"]
+    ops = [(ms, fl, by,
+            max(fl / PEAK_TFLOPS, by / PEAK_BW) * 1e3, name, cat)
+           for name, (ms, fl, by, cat) in by_op.items()]
 
     total_ms = sum(c[0] for c in cats.values())
     total_sol = sum(c[3] for c in cats.values())

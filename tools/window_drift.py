@@ -40,7 +40,7 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     from npvp_tpu.data.loader import DataModule
-    from npvp_tpu.eval.metrics import psnr, ssim
+    from npvp_tpu.eval.evaluate import _make_clip_metrics
     from npvp_tpu.models.inference import VideoPredictor
 
     cfg = load_cli_config(args)
@@ -58,6 +58,8 @@ def main(argv=None):
             ("PSNR_direct", "PSNR_windowed", "SSIM_direct", "SSIM_windowed")}
     count = 0
     rng0 = jax.random.key(cfg.Env.rand_seed)
+    clip_metrics = _make_clip_metrics(dm.renorm)  # one dispatch per clip
+    assert clip_metrics is not None, "dataset renorm is not affine"
     for bi, batch in enumerate(dm.test_loader()):
         if bi >= args.max_batches:
             break
@@ -68,14 +70,10 @@ def main(argv=None):
         windowed = np.asarray(
             vp.vfp_windowed(past, F, rng=rng, chunk=max(1, F // 2)),
             np.float32)
-        for t in range(F):
-            for name, pred in (("direct", direct), ("windowed", windowed)):
-                pt = jnp.asarray(dm.renorm(pred[:, t]))
-                gt_t = jnp.asarray(dm.renorm(gt[:, t]))
-                sums[f"PSNR_{name}"][t] += float(np.sum(
-                    np.asarray(psnr(pt, gt_t, mean_flag=False))))
-                sums[f"SSIM_{name}"][t] += float(np.sum(
-                    np.asarray(ssim(pt, gt_t, mean_flag=False))))
+        for name, pred in (("direct", direct), ("windowed", windowed)):
+            per = clip_metrics(pred, gt)
+            sums[f"PSNR_{name}"] += per["PSNR"].sum(axis=0)
+            sums[f"SSIM_{name}"] += per["SSIM"].sum(axis=0)
         count += direct.shape[0]
         print(f"batch {bi}: n={count}", flush=True)
 
