@@ -38,6 +38,11 @@ class EnvConfig:
     # shard activations' spatial H axis over the model mesh axis (Megatron-SP
     # layout; see core.mesh.sequence_parallel). Needs mesh_shape model > 1.
     sequence_parallel: bool = False
+    # ZeRO-3 fully-sharded data parallelism: parameters + optimizer moments
+    # sharded over the data axis (core.mesh.tree_shardings fsdp rules); XLA
+    # all-gathers params per use and reduce-scatters gradients. Composes
+    # with TP/SP. Per-device state memory scales down by the data-axis size.
+    fsdp: bool = False
     # gradient steps executed per device dispatch (lax.scan over a stacked
     # chunk of batches). >1 amortizes host→device dispatch latency — decisive
     # on high-RTT runtimes (the tunneled chip pays 10-1000 ms per dispatch);

@@ -88,34 +88,69 @@ def _path_str(path) -> str:
     return "/" + "/".join(parts)
 
 
-def tree_shardings(mesh: Mesh, tree: Any) -> Any:
+# ZeRO-3-style fully-sharded data parallelism: parameters and optimizer
+# moments are sharded over the *data* axis on their largest free (non-TP)
+# dimension; XLA's SPMD partitioner inserts the all-gather before each use
+# and the reduce-scatter on the gradient — the standard JAX FSDP recipe
+# (no hand-written communication; composes with the TP rules, which claim
+# their dims first). Per-device parameter+moment memory scales down by the
+# data-axis size. Leaves below FSDP_MIN_SIZE elements (biases, norm scales,
+# schedule counters) stay replicated: sharding them saves nothing and adds
+# per-use collectives.
+FSDP_MIN_SIZE = 2 ** 15
+
+
+def _with_fsdp(spec: P, shape, data_size: int) -> P:
+    """Extend a (possibly TP-assigned) PartitionSpec with the data axis on
+    the largest still-unassigned dimension that divides ``data_size``."""
+    if int(np.prod(shape)) < FSDP_MIN_SIZE:
+        return spec
+    dims = list(spec) + [None] * (len(shape) - len(spec))
+    cands = [d for d in range(len(shape))
+             if dims[d] is None and shape[d] >= data_size
+             and shape[d] % data_size == 0]
+    if not cands:
+        return spec
+    dims[max(cands, key=lambda d: shape[d])] = DATA_AXIS
+    return P(*dims)
+
+
+def tree_shardings(mesh: Mesh, tree: Any, fsdp: bool = False,
+                   tp: bool = True) -> Any:
     """NamedSharding pytree for any state pytree. The TP path rules match on
     path *suffixes*, so they apply equally to params and to optimizer moments
-    (whose optax paths embed the parameter path)."""
+    (whose optax paths embed the parameter path). ``fsdp=True`` additionally
+    shards every large leaf over the data axis (ZeRO-3); ``tp=False`` skips
+    the TP rules (the stage-1 AE trainer, whose attention modules are not
+    head-split)."""
     def assign(path, leaf):
-        spec = param_spec(_path_str(path))
+        spec = param_spec(_path_str(path)) if tp else P()
         axis_size = mesh.shape[MODEL_AXIS]
         shape = getattr(leaf, "shape", ())
         for dim, name in enumerate(spec):
             # guard: only shard dims divisible by the axis size
             if name == MODEL_AXIS and (dim >= len(shape)
                                        or shape[dim] % axis_size):
-                return NamedSharding(mesh, P())
+                spec = P()
+                break
+        if fsdp and mesh.shape[DATA_AXIS] > 1:
+            spec = _with_fsdp(spec, shape, mesh.shape[DATA_AXIS])
         return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(assign, tree)
 
 
-def param_shardings(mesh: Mesh, params: Any) -> Any:
+def param_shardings(mesh: Mesh, params: Any, fsdp: bool = False) -> Any:
     """NamedSharding pytree for a parameter pytree (TP rules + replication)."""
-    return tree_shardings(mesh, params)
+    return tree_shardings(mesh, params, fsdp=fsdp)
 
 
-def shard_state(mesh: Mesh, state: Any) -> Any:
+def shard_state(mesh: Mesh, state: Any, fsdp: bool = False) -> Any:
     """Place a full train state on the mesh (params + optimizer moments get
-    the TP layout; everything else replicated). jit then follows these
-    placements — no explicit in_shardings needed at the call site."""
-    return jax.device_put(state, tree_shardings(mesh, state))
+    the TP layout — plus ZeRO-3 data-axis sharding under ``fsdp``; everything
+    else replicated). jit then follows these placements — no explicit
+    in_shardings needed at the call site."""
+    return jax.device_put(state, tree_shardings(mesh, state, fsdp=fsdp))
 
 
 def shard_params(mesh: Mesh, params: Any) -> Any:

@@ -51,9 +51,15 @@ def init_state(cfg: Config, ae: FrameAutoEncoder, sample_shape) -> TrainState:
                              tx=tx)
 
 
-def make_steps(ae: FrameAutoEncoder, mesh):
-    """Build the jitted train/eval steps with mesh shardings."""
+def make_steps(ae: FrameAutoEncoder, mesh, state_shardings=None):
+    """Build the jitted train/eval steps with mesh shardings.
+
+    ``state_shardings`` (a NamedSharding pytree matching the TrainState) pins
+    the output state layout — replicated by default; the ZeRO-3 layout when
+    ``Env.fsdp`` is on (see :func:`npvp_tpu.core.mesh.tree_shardings`)."""
     rep = replicated(mesh)
+    if state_shardings is None:
+        state_shardings = rep
 
     def train_step(state: TrainState, batch) -> Tuple[TrainState, dict]:
         x = jnp.concatenate([batch["past"], batch["future"]], axis=1)
@@ -80,7 +86,7 @@ def make_steps(ae: FrameAutoEncoder, mesh):
         return rec
 
     train_step = jax.jit(train_step, donate_argnums=0,
-                         out_shardings=(rep, rep))
+                         out_shardings=(state_shardings, rep))
     eval_step = jax.jit(eval_step, out_shardings=rep)
     vis = jax.jit(vis_step)
 
@@ -116,10 +122,15 @@ def train(cfg: Config, max_steps: int | None = None) -> TrainState:
         start_epoch = int(state.step) // max(1, dm.len_train_loader or 1)
 
     logger = MetricsLogger(cfg.AE.tensorboard_save_dir)
-    # state (fresh or restored) must live replicated on the mesh before the
-    # first step — batches arrive as mesh-wide global arrays
-    state = jax.device_put(state, replicated(mesh))
-    train_step, eval_step, vis_step = make_steps(ae, mesh)
+    # state (fresh or restored) must live on the mesh before the first step —
+    # batches arrive as mesh-wide global arrays. Replicated by default;
+    # ZeRO-3 data-axis sharding under Env.fsdp (the AE has no head-split
+    # attention, so the TP rules are skipped).
+    from npvp_tpu.core.mesh import tree_shardings
+
+    state_sh = tree_shardings(mesh, state, fsdp=cfg.Env.fsdp, tp=False)
+    state = jax.device_put(state, state_sh)
+    train_step, eval_step, vis_step = make_steps(ae, mesh, state_sh)
     cfg.save(f"{cfg.AE.ckpt_save_dir}/config.json")
 
     step = int(state.step)

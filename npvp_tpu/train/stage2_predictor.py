@@ -412,7 +412,7 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> TrainState:
         det_mngr = CheckpointManager(cfg.Predictor.init_det_ckpt_for_vae)
         det = det_mngr.restore(state)  # shapes differ where stochastic-only
         state = state.replace(params=merge_det_init(det.params, state.params))
-    state = shard_state(mesh, state)
+    state = shard_state(mesh, state, fsdp=cfg.Env.fsdp)
 
     if is_main_process():
         print(f"Predictor parameters: {param_count(state.params) / 1e6:.2f}M"
@@ -425,7 +425,8 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> TrainState:
     if cfg.Predictor.resume_ckpt:
         state = CheckpointManager(cfg.Predictor.resume_ckpt).restore(state)
         start_epoch = int(state.step) // max(1, dm.len_train_loader or 1)
-        state = shard_state(mesh, state)  # restored arrays → mesh layout
+        # restored arrays → mesh layout
+        state = shard_state(mesh, state, fsdp=cfg.Env.fsdp)
 
     logger = MetricsLogger(cfg.Predictor.tensorboard_save_dir)
     train_step, eval_step, place, decode, encode, multi = make_steps(

@@ -147,6 +147,107 @@ def test_dp_gradient_matches_single_device():
         assert np.linalg.norm(a - b) <= tol, (np.linalg.norm(a - b), tol)
 
 
+def test_fsdp_tree_sharding_rules():
+    """ZeRO-3 spec assignment: large leaves get the data axis on their
+    largest free dimension, TP-claimed dims are preserved, and small leaves
+    (biases, norm scales) stay replicated."""
+    from jax.sharding import PartitionSpec as P
+
+    from npvp_tpu.core.mesh import tree_shardings
+
+    mesh = make_mesh(data=4, model=2)
+    tree = {"up0_conv": {"kernel": jnp.zeros((3, 3, 64, 128))},
+            "linear1": {"kernel": jnp.zeros((256, 512)),
+                        "bias": jnp.zeros((512,))},
+            "norm": {"scale": jnp.zeros((512,))},
+            "wo": {"kernel": jnp.zeros((8, 64, 512))}}
+    sh = tree_shardings(mesh, tree, fsdp=True)
+    # no TP match → data axis on the largest divisible dim (C_out=128)
+    assert sh["up0_conv"]["kernel"].spec == P(None, None, None, "data")
+    # TP claims dim 1 (column split), fsdp adds data on dim 0
+    assert sh["linear1"]["kernel"].spec == P("data", "model")
+    # TP bias rule still applies; below FSDP_MIN_SIZE → no extra data axis
+    assert sh["linear1"]["bias"].spec == P("model")
+    # small non-TP leaf → replicated
+    assert sh["norm"]["scale"].spec == P()
+    # TP row-split on dim 0; largest free dim is 2
+    assert sh["wo"]["kernel"].spec == P("model", None, "data")
+    # fsdp off → unchanged TP-only behavior
+    sh0 = tree_shardings(mesh, tree, fsdp=False)
+    assert sh0["up0_conv"]["kernel"].spec == P()
+    assert sh0["linear1"]["kernel"].spec == P(None, "model")
+
+
+def test_fsdp_train_step_matches_replicated(monkeypatch):
+    """A jitted, donated optimizer step on a ZeRO-3-sharded state (params +
+    momentum over the data axis, composed with TP) reproduces the
+    single-device trajectory, keeps the sharded layout across steps, and
+    actually shards the state (addressable shards smaller than the array)."""
+    import optax
+
+    import npvp_tpu.core.mesh as mesh_mod
+    from npvp_tpu.core.train_state import TrainState
+
+    # the tiny model's leaves are all below the production FSDP_MIN_SIZE
+    monkeypatch.setattr(mesh_mod, "FSDP_MIN_SIZE", 128)
+
+    model, variables, obs, oc, tc = _tiny_model_and_inputs()
+    target = jax.random.uniform(jax.random.key(5), (8, 2, 8, 8, 16))
+    tx = optax.sgd(0.1, momentum=0.9)
+
+    def make_state():
+        return TrainState.create(apply_fn=model.apply,
+                                 params=variables["params"],
+                                 batch_stats=variables["batch_stats"], tx=tx)
+
+    def loss_fn(params, stats, x):
+        out = model.apply({"params": params, "batch_stats": stats},
+                          x, oc, tc, 2).pred_features
+        return jnp.mean(jnp.abs(out - target))
+
+    def step(state, x):
+        grads = jax.grad(loss_fn)(state.params, state.batch_stats, x)
+        return state.apply_gradients(grads)
+
+    s0 = make_state()
+    for _ in range(3):
+        s0 = step(s0, obs)
+    expect = jax.tree_util.tree_leaves(s0.params)
+
+    mesh = make_mesh(data=4, model=2)
+    state = mesh_mod.shard_state(mesh, make_state(), fsdp=True)
+    wq = state.params["decoder"]["layer_0"]["slmhsa"]["attn"]["wq"]["kernel"]
+    assert "data" in wq.sharding.spec  # (16, 4, 4): data on dim 0, TP dim 1
+    shard_shape = wq.addressable_shards[0].data.shape
+    assert shard_shape[0] == wq.shape[0] // 4
+    # momentum trace paths embed the param path → same layout as the param
+    mom = jax.tree_util.tree_map(lambda l: l, state.opt_state)
+    flat = {mesh_mod._path_str(p): l.sharding.spec for p, l in
+            jax.tree_util.tree_flatten_with_path(mom)[0]
+            if hasattr(l, "sharding")}
+    assert any("wq/kernel" in k and "data" in v for k, v in flat.items())
+
+    jstep = jax.jit(step, donate_argnums=0)
+    sx = shard_batch(mesh, obs)
+    for _ in range(3):
+        state = jstep(state, sx)
+    wq2 = state.params["decoder"]["layer_0"]["slmhsa"]["attn"]["wq"]["kernel"]
+
+    def _norm(spec):  # XLA drops trailing Nones in output specs
+        t = tuple(spec)
+        while t and t[-1] is None:
+            t = t[:-1]
+        return t
+
+    # layout survives the donated step
+    assert _norm(wq2.sharding.spec) == _norm(wq.sharding.spec)
+    got = jax.tree_util.tree_leaves(state.params)
+    for a, b in zip(expect, got):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        tol = 5e-3 * np.linalg.norm(a) + 1e-4 * np.sqrt(a.size)
+        assert np.linalg.norm(a - b) <= tol, (np.linalg.norm(a - b), tol)
+
+
 def test_sp_shard_constrains_activation_layout():
     """sp_shard inside a sequence_parallel context forces the (N, T, H, ...)
     layout batch-over-data / H-over-model; outside it is the identity."""

@@ -223,6 +223,26 @@ def test_evaluate_cli(tmp_path, small_smmnist, capsys):
     assert np.isfinite(results["PSNR"])
 
 
+def test_trainers_run_with_fsdp(tmp_path, small_smmnist, monkeypatch):
+    """Env.fsdp=True end-to-end through both trainers: the train state is
+    ZeRO-3-sharded over the data axis (core.mesh fsdp rules) and the steps
+    run green with the sharded layout surviving into the returned state."""
+    import npvp_tpu.core.mesh as mesh_mod
+    from npvp_tpu.train import stage1_ae, stage2_predictor
+
+    # the tiny config's leaves are all below the production FSDP_MIN_SIZE
+    monkeypatch.setattr(mesh_mod, "FSDP_MIN_SIZE", 64)
+    cfg = tiny_config(tmp_path)
+    cfg.Env.fsdp = True
+    stage1_ae.train(cfg, max_steps=1)
+    state = stage2_predictor.train(cfg, max_steps=2)
+    assert int(state.step) == 2
+    specs = [tuple(l.sharding.spec)
+             for l in jax.tree_util.tree_leaves(state.params)
+             if hasattr(l, "sharding") and hasattr(l.sharding, "spec")]
+    assert any("data" in s for s in specs)
+
+
 def test_multi_step_dispatch_equals_per_step(tmp_path, small_smmnist):
     """K gradient steps batched into one lax.scan program (multi-step
     dispatch, Env.steps_per_dispatch) follow the SAME training trajectory as
