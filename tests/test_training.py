@@ -223,6 +223,7 @@ def test_evaluate_cli(tmp_path, small_smmnist, capsys):
     assert np.isfinite(results["PSNR"])
 
 
+@pytest.mark.slow
 def test_trainers_run_with_fsdp(tmp_path, small_smmnist, monkeypatch):
     """Env.fsdp=True end-to-end through both trainers: the train state is
     ZeRO-3-sharded over the data axis (core.mesh fsdp rules) and the steps
