@@ -215,6 +215,105 @@ class VideoPredictor:
         predict_frozen.jit_fn = fn  # for AOT introspection (bench.py)
         return predict_frozen
 
+    # -- serialized serving bundles ------------------------------------------
+    def export_task(self, path: str, to_list: Sequence[float],
+                    tp_list: Sequence[float], batch_size: int,
+                    platforms: Sequence[str] = ("cpu", "tpu")) -> None:
+        """Serialize the coordinate-specialized serving program to a
+        self-contained on-disk bundle: ``program.jaxexport`` (StableHLO via
+        ``jax.export``, lowered for every platform in ``platforms`` — a CPU
+        host can produce a TPU serving artifact) + ``variables.pkl``
+        (weights) + ``meta.json`` (shapes/task).
+
+        The bundle decouples serving from the model code: a server process
+        needs only jax and :meth:`serve_exported` — no flax modules, no
+        config, no tracing. Shapes are static (``batch_size`` clips of
+        ``len(to_list)`` observed frames), matching the reference's
+        fixed-task serving (Inference.ipynb cells 2-4: one task shape per
+        notebook run); export one bundle per task shape. The rng enters as
+        raw ``jax.random.key_data`` so the artifact's calling convention is
+        plain arrays only.
+        """
+        import json
+        import pickle
+        from pathlib import Path
+
+        import jax.export as jexport
+
+        to_list = np.asarray(to_list, np.float32)
+        tp_list = np.asarray(tp_list, np.float32)
+        oc = self._coords(to_list)
+        tc = self._coords(tp_list)
+        num_target = len(tp_list)
+
+        def run(ae_vars, pred_vars, frames, key_data):
+            key = jax.random.wrap_key_data(key_data)
+            feats = self.ae.apply(ae_vars, frames, train=False,
+                                  method=FrameAutoEncoder.encode)
+            out = self.predictor.apply(
+                pred_vars, feats, oc, tc, num_target,
+                rngs={"latent": key})
+            return self.ae.apply(ae_vars, out.pred_features, train=False,
+                                 method=FrameAutoEncoder.decode)
+
+        d = self.cfg.Dataset
+        frames_sds = jax.ShapeDtypeStruct(
+            (batch_size, len(to_list), d.img_size, d.img_size,
+             d.img_channels), jnp.float32)
+        key_data = jax.random.key_data(jax.random.key(0))
+        key_sds = jax.ShapeDtypeStruct(key_data.shape, key_data.dtype)
+        sds = lambda tree: jax.tree_util.tree_map(
+            lambda l: jax.ShapeDtypeStruct(jnp.shape(l), jnp.asarray(l).dtype),
+            tree)
+        exported = jexport.export(jax.jit(run), platforms=list(platforms))(
+            sds(self.ae_vars), sds(self.predictor_vars), frames_sds, key_sds)
+
+        out_dir = Path(path)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        (out_dir / "program.jaxexport").write_bytes(exported.serialize())
+        to_np = lambda tree: jax.tree_util.tree_map(np.asarray, tree)
+        (out_dir / "variables.pkl").write_bytes(pickle.dumps(
+            {"ae_vars": to_np(self.ae_vars),
+             "predictor_vars": to_np(self.predictor_vars)}))
+        (out_dir / "meta.json").write_text(json.dumps({
+            "to_list": to_list.tolist(), "tp_list": tp_list.tolist(),
+            "batch_size": batch_size, "platforms": list(platforms),
+            "frames_shape": list(frames_sds.shape)}))
+
+    @staticmethod
+    def serve_exported(path: str):
+        """Load a bundle written by :meth:`export_task` and return
+        ``fn(observed_frames, rng=None) -> (N, TP, H, W, C)``.
+
+        Model-code-free serving: only the serialized program + weights are
+        used; the returned callable compiles the exported StableHLO for the
+        local backend on first call.
+        """
+        import json
+        import pickle
+        from pathlib import Path
+
+        import jax.export as jexport
+
+        out_dir = Path(path)
+        exported = jexport.deserialize(
+            (out_dir / "program.jaxexport").read_bytes())
+        variables = pickle.loads((out_dir / "variables.pkl").read_bytes())
+        meta = json.loads((out_dir / "meta.json").read_text())
+        expect = tuple(meta["frames_shape"])
+
+        def serve(observed_frames, rng: Optional[jax.Array] = None):
+            frames = jnp.asarray(observed_frames, jnp.float32)
+            assert frames.shape == expect, (
+                f"exported task takes frames {expect}, got {frames.shape}")
+            key = rng if rng is not None else jax.random.key(0)
+            return exported.call(variables["ae_vars"],
+                                 variables["predictor_vars"], frames,
+                                 jax.random.key_data(key))
+
+        serve.meta = meta
+        return serve
+
     def predict(self, observed_frames, to_list: Sequence[float],
                 tp_list: Sequence[float],
                 rng: Optional[jax.Array] = None) -> jnp.ndarray:

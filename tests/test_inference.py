@@ -159,3 +159,52 @@ def test_task_split_clamps_to_trained_range():
                     task, P, T)
             # observed indices must be valid integer frame positions
             assert np.all(np.asarray(to) == np.asarray(to).astype(int))
+
+
+def test_export_task_bundle_roundtrip(vp, tmp_path):
+    """export_task writes a self-contained serving bundle whose deserialized
+    program (jax.export StableHLO) reproduces the live freeze_task output,
+    including the stochastic path through the raw-key-data calling
+    convention."""
+    frames = np.random.default_rng(0).random((2, 2, 16, 16, 1), np.float32)
+    rng = jax.random.key(7)
+    expect = np.asarray(vp.freeze_task([0.0, 1.0], [2.0, 3.0])(frames, rng))
+
+    bundle = tmp_path / "vfp_2to2"
+    vp.export_task(bundle, [0.0, 1.0], [2.0, 3.0], batch_size=2,
+                   platforms=("cpu",))
+    assert (bundle / "program.jaxexport").exists()
+    assert (bundle / "variables.pkl").exists()
+    meta = json.loads((bundle / "meta.json").read_text())
+    assert meta["tp_list"] == [2.0, 3.0]
+
+    serve = VideoPredictor.serve_exported(bundle)
+    got = np.asarray(serve(frames, rng))
+    assert got.shape == (2, 2, 16, 16, 1)
+    np.testing.assert_allclose(got, expect, atol=1e-5)
+
+    # a different rng draws a different stochastic sample
+    other = np.asarray(serve(frames, jax.random.key(8)))
+    assert np.abs(other - got).max() > 1e-6
+
+    # wrong frame shape rejected with the bundle's recorded shape
+    with pytest.raises(AssertionError):
+        serve(frames[:1])
+
+
+def test_export_serving_cli(tmp_path, capsys):
+    """The export CLI writes a loadable bundle for a canonical task using
+    the config's test-protocol frame counts."""
+    from npvp_tpu.tools import export_serving as cli
+
+    cfg_path = tmp_path / "cfg.json"
+    small_cfg().save(cfg_path)
+    out_dir = tmp_path / "bundle"
+    cli.main(["--config_path", str(cfg_path), "--random_init",
+              "--task", "VFP", "--batch_size", "2",
+              "--platforms", "cpu", "--out", str(out_dir)])
+    assert "exported task" in capsys.readouterr().out
+    serve = VideoPredictor.serve_exported(out_dir)
+    frames = np.random.default_rng(1).random((2, 2, 16, 16, 1), np.float32)
+    pred = np.asarray(serve(frames))
+    assert pred.shape == (2, 2, 16, 16, 1) and np.isfinite(pred).all()
