@@ -115,7 +115,8 @@ def evaluate(cfg: Config, fvd_i3d_ckpt: str | None = None,
              max_batches: int | None = None, random_init: bool = False,
              task: str = "VFP", num_samples: int = 1,
              baseline: bool = False, gif_dir: str | None = None,
-             gif_sequences: int = 4, ae_ceiling: bool = False) -> dict:
+             gif_sequences: int = 4, ae_ceiling: bool = False,
+             dtype=jnp.float32, exec_mode: str | None = None) -> dict:
     """``baseline=True`` adds a copy-nearest-observed-frame row
     (``<metric>_baseline``) — the trivial predictor every learned model must
     clearly beat for a quality table to mean anything. ``gif_dir`` writes
@@ -123,19 +124,23 @@ def evaluate(cfg: Config, fvd_i3d_ckpt: str | None = None,
     ``gif_sequences`` sequences of the first batch (the reference's visual
     artifact, utils/train_summary.py:233-271). ``ae_ceiling=True`` adds the
     frozen-AE ground-truth reconstruction row (``<metric>_ae_ceiling``) —
-    the predictor emits AE features, so this is its quality ceiling."""
+    the predictor emits AE features, so this is its quality ceiling.
+
+    ``dtype``/``exec_mode`` default to the fp32 parity path (bit-exact vs
+    the reference computation — tests/test_converter.py); passing the
+    serving configurations (bf16 / "pallas" / "int8") instead measures the
+    deployed numerics' quality on the same protocol
+    (tools/exec_mode_fidelity.py)."""
     assert task in TASKS, task
     dm = DataModule(cfg, jax.process_index(), jax.process_count())
     d, p = cfg.Dataset, cfg.Predictor
-    # quality evaluation runs the fp32 parity path (bit-exact vs the
-    # reference computation — tests/test_converter.py); bf16+tanh-GELU and
-    # int8 are the serving paths
     if random_init:
-        vp = VideoPredictor.from_random_init(cfg, dtype=jnp.float32)
+        vp = VideoPredictor.from_random_init(cfg, dtype=dtype,
+                                             exec_mode=exec_mode)
     else:
         vp = VideoPredictor.from_checkpoints(
             cfg, cfg.Predictor.resume_AE_ckpt, cfg.Predictor.ckpt_save_dir,
-            dtype=jnp.float32)
+            dtype=dtype, exec_mode=exec_mode)
 
     if not p.stochastic:
         num_samples = 1

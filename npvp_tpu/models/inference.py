@@ -301,15 +301,35 @@ class VideoPredictor:
         variables = pickle.loads((out_dir / "variables.pkl").read_bytes())
         meta = json.loads((out_dir / "meta.json").read_text())
         expect = tuple(meta["frames_shape"])
+        B = expect[0]
 
         def serve(observed_frames, rng: Optional[jax.Array] = None):
             frames = jnp.asarray(observed_frames, jnp.float32)
-            assert frames.shape == expect, (
-                f"exported task takes frames {expect}, got {frames.shape}")
+            assert frames.shape[1:] == expect[1:], (
+                f"exported task takes frames (N,)+{expect[1:]}, "
+                f"got {frames.shape}")
             key = rng if rng is not None else jax.random.key(0)
-            return exported.call(variables["ae_vars"],
-                                 variables["predictor_vars"], frames,
-                                 jax.random.key_data(key))
+            n = frames.shape[0]
+            # the program has a static batch B: chunk larger requests, pad
+            # the remainder (clips are independent — BN runs on frozen
+            # statistics — so padding rows never leak into real rows)
+            outs = []
+            for c, i in enumerate(range(0, n, B)):
+                chunk = frames[i: i + B]
+                m = chunk.shape[0]
+                if m < B:
+                    chunk = jnp.concatenate(
+                        [chunk, jnp.zeros((B - m,) + expect[1:],
+                                          chunk.dtype)])
+                # chunk 0 uses the caller's key unchanged (exact parity
+                # with the live freeze_task program); later chunks fold in
+                # their index for fresh latent draws
+                k = key if c == 0 else jax.random.fold_in(key, c)
+                out = exported.call(
+                    variables["ae_vars"], variables["predictor_vars"],
+                    chunk, jax.random.key_data(k))
+                outs.append(out[:m])
+            return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
 
         serve.meta = meta
         return serve

@@ -170,3 +170,28 @@ def test_fused_clip_metrics_match_per_slice_path():
              for t in range(pred.shape[1])], axis=1)
         np.testing.assert_allclose(got[name], want, rtol=2e-5, atol=2e-5,
                                    err_msg=name)
+
+
+def test_evaluate_serving_modes():
+    """evaluate(dtype=..., exec_mode=...) runs the protocol on the serving
+    numerics (bf16 / int8) and reports the same metric keys as the fp32
+    quality path — the instrument behind tools/exec_mode_fidelity.py."""
+    import jax.numpy as jnp
+
+    from npvp_tpu.core.config import Config
+    from npvp_tpu.eval import evaluate as ev
+
+    cfg = Config()
+    p = cfg.Predictor
+    p.embed_dim, p.num_heads = 64, 4
+    p.transformer_layers, p.evt_former_num_layers = 1, 1
+    p.dim_feedforward, p.evt_hidden_channels = 128, 32
+    p.max_T = 15
+    cfg.AE.ngf, cfg.AE.n_downsampling = 8, 3
+    cfg.Dataset.name = "SMMNIST"
+    cfg.Dataset.batch_size = 2
+    cfg.Dataset.num_workers = 1
+    cfg.validate()
+    res = ev.evaluate(cfg, max_batches=1, random_init=True, task="VFP",
+                      dtype=jnp.bfloat16, exec_mode="int8")
+    assert np.isfinite(res["PSNR"]) and np.isfinite(res["SSIM"])

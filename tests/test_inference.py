@@ -187,9 +187,17 @@ def test_export_task_bundle_roundtrip(vp, tmp_path):
     other = np.asarray(serve(frames, jax.random.key(8)))
     assert np.abs(other - got).max() > 1e-6
 
-    # wrong frame shape rejected with the bundle's recorded shape
+    # arbitrary request sizes are chunked/padded to the exported batch:
+    # a smaller request reproduces its rows of the full-batch call (clips
+    # are independent — frozen BN stats), a larger one round-trips shape
+    np.testing.assert_allclose(np.asarray(serve(frames[:1], rng)),
+                               expect[:1], atol=1e-5)
+    big = np.concatenate([frames, frames[:1]])
+    assert np.asarray(serve(big, rng)).shape == (3, 2, 16, 16, 1)
+
+    # wrong non-batch shape rejected with the bundle's recorded shape
     with pytest.raises(AssertionError):
-        serve(frames[:1])
+        serve(frames[:, :1])
 
 
 def test_export_serving_cli(tmp_path, capsys):
