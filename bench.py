@@ -184,11 +184,48 @@ def bench_train():
     }))
 
 
+def _wait_for_backend(max_wait_s: float = 1200.0) -> None:
+    """The axon TPU tunnel goes UNAVAILABLE (or hangs on init) for stretches
+    of tens of minutes (observed round 3). Probe it in a subprocess — a hung
+    in-process backend init is unrecoverable — and retry for up to
+    ``max_wait_s`` so a transient outage doesn't void the benchmark run."""
+    import subprocess
+
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, numpy as np; x = jax.numpy.ones((128, 128));"
+                 "np.asarray(x @ x)"],
+                capture_output=True, timeout=max(60, min(300, deadline -
+                                                         time.time())))
+            ok = probe.returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False  # init hang — the common failure mode
+        if ok:
+            if attempt > 1:
+                print(f"[bench] backend up after {attempt} probes",
+                      file=sys.stderr)
+            return
+        if time.time() > deadline:
+            print("[bench] backend still unavailable after "
+                  f"{max_wait_s:.0f}s; proceeding (will fail loudly)",
+                  file=sys.stderr)
+            return
+        print("[bench] backend unavailable, retrying in 120s",
+              file=sys.stderr)
+        time.sleep(120)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--train", action="store_true",
                         help="benchmark the stage-2 train step instead")
     args = parser.parse_args()
+    _wait_for_backend()
     if args.train:
         bench_train()
     else:
