@@ -236,6 +236,9 @@ def test_trainers_run_with_fsdp(tmp_path, small_smmnist, monkeypatch):
     cfg = tiny_config(tmp_path)
     cfg.Env.fsdp = True
     stage1_ae.train(cfg, max_steps=1)
+    # K=2 multi-step dispatch on top of the ZeRO-3 layout: the lax.scan
+    # over optimizer steps must carry the sharded state
+    cfg.Env.steps_per_dispatch = 2
     state = stage2_predictor.train(cfg, max_steps=2)
     assert int(state.step) == 2
     specs = [tuple(l.sharding.spec)
