@@ -50,7 +50,8 @@ def make_pipeline_mesh(stages: int, data: int = 1) -> Mesh:
 
 def pipeline_apply(fn: Callable[[Any, Any], Any], stacked_params: Any,
                    microbatches: Any, *, mesh: Mesh,
-                   axis: str = PIPE_AXIS) -> Any:
+                   axis: str = PIPE_AXIS,
+                   data_axis: str | None = None) -> Any:
     """Apply an L-layer stack as an S-stage pipeline (S = mesh[axis]).
 
     fn(layer_params, x) -> y          one block; x and y share a shape
@@ -65,8 +66,11 @@ def pipeline_apply(fn: Callable[[Any, Any], Any], stacked_params: Any,
 
     All arrays are passed through ``shard_map``: the layer axis of
     ``stacked_params`` is split over ``axis`` (each stage holds its L/S
-    layers), microbatches are replicated along ``axis`` (their own data-axis
-    sharding, if any, passes through untouched on the other mesh axes).
+    layers); microbatches are replicated along ``axis``. ``data_axis``
+    composes PP×DP: every microbatch leaf's *second* dimension (the batch
+    within a microbatch) is split over that mesh axis, so each (data, pipe)
+    device row pipelines its own batch shard — stage-to-stage permutes move
+    only local shards and no cross-data-axis communication is added.
     """
     S = mesh.shape[axis]
     L = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
@@ -127,7 +131,8 @@ def pipeline_apply(fn: Callable[[Any, Any], Any], stacked_params: Any,
         return out
 
     pspec = jax.tree_util.tree_map(lambda _: P(axis), stacked_params)
-    xspec = jax.tree_util.tree_map(lambda _: P(), microbatches)
+    xp = P(None, data_axis) if data_axis else P()
+    xspec = jax.tree_util.tree_map(lambda _: xp, microbatches)
     shmapped = jax.shard_map(
         per_stage, mesh=mesh, in_specs=(pspec, xspec),
         out_specs=xspec, check_vma=False)

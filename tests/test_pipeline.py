@@ -107,3 +107,24 @@ def test_pipeline_decoder_blocks_parity():
     np.testing.assert_allclose(
         np.asarray(got_mb),
         np.stack(expect_mb).reshape(2, 1, TP, H, W, C), atol=2e-5)
+
+
+def test_pipeline_composes_with_data_parallelism():
+    """PP×DP: microbatches sharded over the data axis while streaming
+    through the pipe axis reproduce the sequential stack — each (data, pipe)
+    device row pipelines its own batch shard."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-virtual-device mesh")
+    L, S, M, B, D = 8, 4, 4, 4, 16
+    layers = _mlp_layers(L, D, seed=2)
+    x = jnp.asarray(np.random.default_rng(5)
+                    .standard_normal((M, B, D)).astype(np.float32))
+    expect = x
+    for p in layers:
+        expect = _mlp(p, expect)
+
+    mesh = make_pipeline_mesh(stages=S, data=2)
+    got = pipeline_apply(_mlp, stack_layer_params(layers), x, mesh=mesh,
+                         data_axis="data")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                               atol=1e-6)
