@@ -175,3 +175,69 @@ def test_datamodule_smmnist():
     assert dm.predictor_mode() == "pairs"
     cfg.Predictor.rand_context = True
     assert dm.predictor_mode() == "rand_context"
+
+
+def test_datamodule_kth_and_bair_synthetic_trees(tmp_path):
+    """End-to-end frame-folder pipelines on synthetic trees in the
+    reference's on-disk layouts (utils/dataset.py:296-304, 362-400):
+    KTH action/personXX_* folders with the person-id split (1-16 train
+    minus val person 5, 17-25 test), BAIR train/test folder-per-example
+    with the 95/5 train/val cut — through DataModule batch assembly."""
+    from PIL import Image
+
+    from npvp_tpu.core.config import Config
+    from npvp_tpu.data.loader import DataModule
+
+    rng = np.random.default_rng(0)
+    kth = tmp_path / "kth"
+    # the reference's processed layout: raw action dirs plus *_no_empty for
+    # the empty-frame-filtered actions (utils/dataset.py:296-304)
+    for action in ("boxing", "walking_no_empty"):
+        for pid in (1, 5, 17):
+            d = kth / action / f"person{pid:02d}_{action}_d1"
+            d.mkdir(parents=True)
+            for i in range(4):
+                Image.fromarray(rng.integers(0, 255, (32, 40),
+                                             np.uint8)).save(
+                    d / f"frame_{i:04d}.png")
+
+    cfg = Config()
+    cfg.Dataset.name = "KTH"
+    cfg.Dataset.dir = str(kth)  # dataset transforms fix the protocol size
+    cfg.Dataset.num_past_frames = 2
+    cfg.Dataset.num_future_frames = 2
+    cfg.Dataset.test_num_past_frames = 2
+    cfg.Dataset.test_num_future_frames = 2
+    cfg.Dataset.batch_size = 2
+    cfg.Dataset.num_workers = 1
+    cfg.Dataset.phase = "debug"
+    cfg.Predictor.max_T = 4
+    cfg.validate()
+    dm = DataModule(cfg, 0, 1)
+    batch = next(iter(dm.train_loader()))
+    assert batch["past"].shape == (2, 2, 64, 64, 1)
+    # person-id split: train holds person 1 only (5 is val, 17 test), one
+    # 4-frame clip per folder x 2 actions
+    assert dm.len_train_loader == 1
+    tb = next(iter(dm.test_loader()))
+    assert tb["past"].shape[1:] == (2, 64, 64, 1)
+
+    bair = tmp_path / "bair"
+    for sub, n in (("train", 4), ("test", 2)):
+        for j in range(n):
+            d = bair / sub / f"example_{j}"
+            d.mkdir(parents=True)
+            for i in range(4):
+                Image.fromarray(rng.integers(0, 255, (16, 16, 3),
+                                             np.uint8)).save(
+                    d / f"{i:02d}.png")
+    cfg.Dataset.name = "BAIR"
+    cfg.Dataset.dir = str(bair)
+    cfg.Dataset.img_channels = 3
+    cfg.validate()
+    dm = DataModule(cfg, 0, 1)
+    batch = next(iter(dm.train_loader()))
+    # BAIR keeps native frame size (the reference's BAIR is 64x64 natively)
+    assert batch["past"].shape == (2, 2, 16, 16, 3)
+    tb = next(iter(dm.test_loader()))
+    assert tb["past"].shape[1:] == (2, 16, 16, 3)
