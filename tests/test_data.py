@@ -241,3 +241,42 @@ def test_datamodule_kth_and_bair_synthetic_trees(tmp_path):
     assert batch["past"].shape == (2, 2, 16, 16, 3)
     tb = next(iter(dm.test_loader()))
     assert tb["past"].shape[1:] == (2, 16, 16, 3)
+
+
+def test_cityscapes_and_kitti_clip_builders(tmp_path):
+    """cityscapes_clips groups by (city, seq id) and never crosses sequence
+    boundaries; kitti_clips splits train/test by folder index (reference
+    utils/dataset.py:420-443, 445-514)."""
+    from PIL import Image
+
+    from npvp_tpu.data.datasets import cityscapes_clips, kitti_clips
+
+    rng = np.random.default_rng(1)
+    cs = tmp_path / "cityscapes" / "train"
+    city = cs / "aachen"
+    city.mkdir(parents=True)
+    for seq in ("000000", "000001"):
+        for i in range(4):
+            Image.fromarray(rng.integers(0, 255, (8, 8, 3), np.uint8)).save(
+                city / f"aachen_{seq}_{i:06d}_leftImg8bit.png")
+    clips = cityscapes_clips(cs, 4)
+    assert len(clips) == 2  # one 4-frame clip per sequence
+    stems = {c[0].stem.split("_")[1] for c in clips}
+    assert stems == {"000000", "000001"}  # no cross-sequence clip
+    assert cityscapes_clips(cs, 3) and all(
+        len({f.stem.split("_")[1] for f in c}) == 1
+        for c in cityscapes_clips(cs, 3))
+
+    kitti = tmp_path / "kitti"
+    for j in range(6):
+        d = kitti / f"drive_{j:04d}"
+        d.mkdir(parents=True)
+        for i in range(4):
+            Image.fromarray(rng.integers(0, 255, (8, 8, 3), np.uint8)).save(
+                d / f"{i:06d}.png")
+    train = kitti_clips(kitti, 4, test_folder_ids=(1, 3), train=True)
+    test = kitti_clips(kitti, 4, test_folder_ids=(1, 3), train=False)
+    assert len(train) == 4 and len(test) == 2
+    train_dirs = {c[0].parent.name for c in train}
+    assert train_dirs == {"drive_0000", "drive_0002", "drive_0004",
+                          "drive_0005"}
