@@ -171,6 +171,15 @@ class DataModule:
                 transform=(self.train_transform if split == "train"
                            else self.test_transform))
         tf = self.train_transform if split == "train" else self.test_transform
+        if name == "MovingMNIST":
+            # legacy deterministic MovingMNIST from pre-rendered npz arrays
+            # (reference utils/dataset.py:596-670 + the moving-mnist-*.npz
+            # file convention, :1016); the stochastic generator (SMMNIST)
+            # is the primary MNIST path
+            fname = {"train": "moving-mnist-train.npz",
+                     "val": "moving-mnist-valid.npz",
+                     "test": "moving-mnist-test.npz"}[split]
+            return D.MovingMNISTNpz(Path(d.dir) / fname, L, tf)
         if name == "KTH":
             persons = {"train": [p for p in range(1, 17) if p != 5],
                        "val": [5],

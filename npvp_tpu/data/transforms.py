@@ -142,6 +142,7 @@ DATASET_STATS = {
     "Cityscapes": {"mean": (0.31604213, 0.35114038, 0.3104223),
                    "std": (1.2172801, 1.3219808, 1.2082524)},
     "SMMNIST": {"mean": 0.0, "std": 1.0},
+    "MovingMNIST": {"mean": 0.0, "std": 1.0},
 }
 
 
@@ -163,7 +164,7 @@ def build_transforms(name: str, train: bool):
         steps = (flips if train else []) + [norm]
     elif name == "Cityscapes":
         steps = [norm]
-    elif name == "SMMNIST":
+    elif name in ("SMMNIST", "MovingMNIST"):
         steps = []
     else:
         raise ValueError(f"unknown dataset {name!r}")

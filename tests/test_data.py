@@ -280,3 +280,35 @@ def test_cityscapes_and_kitti_clip_builders(tmp_path):
     train_dirs = {c[0].parent.name for c in train}
     assert train_dirs == {"drive_0000", "drive_0002", "drive_0004",
                           "drive_0005"}
+
+
+def test_datamodule_movingmnist_npz(tmp_path):
+    """The legacy pre-rendered MovingMNIST npz path (reference
+    utils/dataset.py:596-670; moving-mnist-{train,valid,test}.npz files of
+    (T, N, H, W) uint8 arrays) through DataModule batch assembly."""
+    from npvp_tpu.core.config import Config
+    from npvp_tpu.data.loader import DataModule
+
+    rng = np.random.default_rng(2)
+    for split in ("train", "valid", "test"):
+        np.savez(tmp_path / f"moving-mnist-{split}.npz",
+                 arr=rng.integers(0, 255, (6, 4, 8, 8), np.uint8))
+
+    cfg = Config()
+    cfg.Dataset.name = "MovingMNIST"
+    cfg.Dataset.dir = str(tmp_path)
+    cfg.Dataset.num_past_frames = 2
+    cfg.Dataset.num_future_frames = 2
+    cfg.Dataset.test_num_past_frames = 2
+    cfg.Dataset.test_num_future_frames = 2
+    cfg.Dataset.batch_size = 2
+    cfg.Dataset.num_workers = 1
+    cfg.Dataset.phase = "debug"
+    cfg.Predictor.max_T = 4
+    cfg.validate()
+    dm = DataModule(cfg, 0, 1)
+    batch = next(iter(dm.train_loader()))
+    assert batch["past"].shape == (2, 2, 8, 8, 1)
+    assert batch["past"].max() <= 1.0  # /255 scaling
+    tb = next(iter(dm.test_loader()))
+    assert tb["past"].shape[1:] == (2, 8, 8, 1)
