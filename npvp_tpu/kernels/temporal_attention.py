@@ -67,6 +67,38 @@ BLOCK_SITES = 64
 # measure fused vs. unfused in one process.
 FUSE_OPROJ = True
 
+# Site packing: merge G sites along the token axes — (B, T, HD) becomes
+# (B/G, G·T, HD), a free leading-dim reshape — with a block-diagonal logits
+# bias so cross-site weights are EXACTLY zero after softmax (the off-block
+# bias is finfo.min; exp underflows to 0 in fp32, so the packed PV dot adds
+# exactly nothing across sites). Why: the per-site dots are tiny
+# (T ∈ [10, 20] « the 128-lane MXU tile) and the kernel is latency-bound on
+# op count (floor dossier: 19% of SoL); packing G sites makes every MXU dot
+# G× fatter and issues G× fewer of them, while the softmax runs on the same
+# number of rows it always lane-padded to 128 anyway. PACK_LANES caps
+# G·max(Tq, Tk) at one lane tile; G is the largest power of two that fits
+# (powers of two because serving site counts are powers of two).
+PACK_LANES = 128
+
+
+def _pack_factor(B, Tq, Tk, block_sites: int) -> int:
+    g = 1
+    while (g * 2 * max(Tq, Tk) <= PACK_LANES and B % (g * 2) == 0
+           and block_sites % (g * 2) == 0):
+        g *= 2
+    return g
+
+
+def _packed_bias(bias, pack: int, Tq: int, Tk: int) -> jnp.ndarray:
+    """Block-diagonal (pack·Tq, pack·Tk) bias: the per-site bias on the
+    diagonal blocks, finfo.min (→ exactly-zero softmax weight) elsewhere."""
+    if bias is None:
+        bias = jnp.zeros((Tq, Tk), jnp.float32)
+    onblock = (jnp.arange(pack * Tq)[:, None] // Tq
+               == jnp.arange(pack * Tk)[None, :] // Tk)
+    return jnp.where(onblock, jnp.tile(bias.astype(jnp.float32),
+                                       (pack, pack)), NEG_INF)
+
 
 def _attend_head(q_ref, k_ref, v_ref, bias, h, hd):
     """One head's site-batched attention: (S, Tq, hd) context vectors."""
@@ -122,6 +154,7 @@ def _kernel_oproj(q_ref, k_ref, v_ref, bias_ref, wo_ref, bo_ref, o_ref, *,
 def temporal_attention(q, k, v, bias=None, *, num_heads: int,
                        wo=None, bo=None,
                        block_sites: int | None = None,
+                       pack_sites: int | None = None,
                        interpret: bool | None = None) -> jnp.ndarray:
     """Per-site attention: q (B, Tq, H·D), k/v (B, Tk, H·D) → (B, Tq, H·D).
 
@@ -131,8 +164,11 @@ def temporal_attention(q, k, v, bias=None, *, num_heads: int,
     a compatible block, e.g. 64/128). With ``wo`` ((H·D, C) flattened output
     kernel, optional ``bo`` (C,)) the output projection is fused into the
     kernel — the per-site context tensor never round-trips through HBM and
-    the result is (B, Tq, C). ``interpret=None`` auto-selects the Pallas
-    interpreter off-TPU (CPU tests), the compiled Mosaic kernel on TPU.
+    the result is (B, Tq, C). ``pack_sites`` merges that many sites per MXU
+    dot via an exactly-zero block-diagonal softmax (see ``PACK_LANES``);
+    ``None`` auto-picks, ``1`` disables. ``interpret=None`` auto-selects the
+    Pallas interpreter off-TPU (CPU tests), the compiled Mosaic kernel on
+    TPU.
     """
     # defaults resolve OUTSIDE the jit so the actual values land in the
     # static cache key (a mutated BLOCK_SITES module global must never hit
@@ -141,20 +177,36 @@ def temporal_attention(q, k, v, bias=None, *, num_heads: int,
         block_sites = BLOCK_SITES
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if pack_sites is None:
+        S = min(block_sites, q.shape[0])
+        pack_sites = _pack_factor(q.shape[0], q.shape[1], k.shape[1], S)
     return _temporal_attention(q, k, v, bias, num_heads=num_heads, wo=wo,
                                bo=bo, block_sites=block_sites,
-                               interpret=interpret)
+                               pack_sites=pack_sites, interpret=interpret)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("num_heads", "block_sites", "interpret"))
+                   static_argnames=("num_heads", "block_sites", "pack_sites",
+                                    "interpret"))
 def _temporal_attention(q, k, v, bias=None, *, num_heads: int,
                         wo=None, bo=None, block_sites: int = BLOCK_SITES,
+                        pack_sites: int = 1,
                         interpret: bool = False) -> jnp.ndarray:
-    B, Tq, HD = q.shape
-    Tk = k.shape[1]
+    B0, Tq0, HD = q.shape
+    Tk0 = k.shape[1]
     assert v.shape == k.shape and q.shape[2] == k.shape[2], (q.shape, k.shape)
     assert HD % num_heads == 0
+    G = max(1, pack_sites)
+    if G > 1:
+        assert B0 % G == 0 and min(block_sites, B0) % G == 0, (B0, G)
+        # free reshape: leading-dim merge, last dim untouched
+        q = q.reshape(B0 // G, G * Tq0, HD)
+        k = k.reshape(B0 // G, G * Tk0, HD)
+        v = v.reshape(B0 // G, G * Tk0, HD)
+        bias = _packed_bias(bias, G, Tq0, Tk0)
+        block_sites = min(block_sites, B0) // G
+    B, Tq, _ = q.shape
+    Tk = k.shape[1]
     S = min(block_sites, B)
     assert B % S == 0, (
         f"site count {B} not divisible by block_sites {S}")
@@ -175,7 +227,7 @@ def _temporal_attention(q, k, v, bias=None, *, num_heads: int,
         params = pltpu.CompilerParams()
     common = dict(grid=grid, interpret=interpret, compiler_params=params)
     if wo is None:
-        return pl.pallas_call(
+        out = pl.pallas_call(
             functools.partial(_kernel, num_heads=num_heads),
             in_specs=[blk(Tq, HD), blk(Tk, HD), blk(Tk, HD),
                       whole((Tq, Tk))],
@@ -186,11 +238,12 @@ def _temporal_attention(q, k, v, bias=None, *, num_heads: int,
                 transcendentals=B * Tq * Tk * num_heads),
             **common,
         )(q, k, v, bias)
+        return out.reshape(B0, Tq0, HD)
 
     C = wo.shape[-1]
     assert wo.shape == (HD, C), wo.shape
     bo2 = (bo if bo is not None else jnp.zeros((C,))).reshape(1, C)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_kernel_oproj, num_heads=num_heads),
         in_specs=[blk(Tq, HD), blk(Tk, HD), blk(Tk, HD), whole((Tq, Tk)),
                   whole((HD, C)), whole((1, C))],
@@ -202,6 +255,7 @@ def _temporal_attention(q, k, v, bias=None, *, num_heads: int,
             transcendentals=B * Tq * Tk * num_heads),
         **common,
     )(q, k, v, bias, wo.astype(q.dtype), bo2.astype(jnp.float32))
+    return out.reshape(B0, Tq0, C)
 
 
 def allow_to_bias(allow) -> jnp.ndarray:

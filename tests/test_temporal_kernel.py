@@ -123,3 +123,54 @@ def test_kernel_rejects_indivisible_sites():
     q = jnp.zeros((6, 2, 8))
     with pytest.raises(AssertionError, match="divisible"):
         temporal_attention(q, q, q, num_heads=2, block_sites=4)
+
+
+def test_site_packing_is_exact():
+    """pack_sites>1 merges G sites per MXU dot behind a block-diagonal
+    softmax whose off-block weights are EXACTLY zero (finfo.min bias →
+    exp underflows to 0). The only permitted deviation from the unpacked
+    kernel is dot accumulation order (a G·Tk-wide contraction reassociates
+    the same nonzero products) — ulp-level in fp32. Covers bias/no-bias and
+    Tq ≠ Tk."""
+    rng = np.random.default_rng(7)
+    B, Tq, Tk, nh, hd = 16, 5, 7, 4, 16
+    HD = nh * hd
+    q = jnp.asarray(rng.standard_normal((B, Tq, HD)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, Tk, HD)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, Tk, HD)), jnp.float32)
+    allow = rng.random((Tq, Tk)) > 0.4
+    allow[:, 0] = True
+    for bias in (None, allow_to_bias(allow)):
+        base = np.asarray(temporal_attention(
+            q, k, v, bias, num_heads=nh, block_sites=8, pack_sites=1))
+        for G in (2, 4):
+            packed = np.asarray(temporal_attention(
+                q, k, v, bias, num_heads=nh, block_sites=8, pack_sites=G))
+            np.testing.assert_allclose(packed, base, atol=3e-6)
+
+
+def test_site_packing_fused_oproj_is_exact():
+    rng = np.random.default_rng(8)
+    B, T, nh, hd, C = 16, 6, 2, 8, 24
+    HD = nh * hd
+    q = jnp.asarray(rng.standard_normal((B, T, HD)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, T, HD)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, T, HD)), jnp.float32)
+    wo = jnp.asarray(rng.standard_normal((HD, C)) * 0.1, jnp.float32)
+    bo = jnp.asarray(rng.standard_normal((C,)), jnp.float32)
+    base = np.asarray(temporal_attention(q, k, v, num_heads=nh, wo=wo,
+                                         bo=bo, block_sites=8, pack_sites=1))
+    packed = np.asarray(temporal_attention(q, k, v, num_heads=nh, wo=wo,
+                                           bo=bo, block_sites=8,
+                                           pack_sites=4))
+    np.testing.assert_allclose(packed, base, atol=3e-6)
+
+
+def test_auto_pack_factor_rules():
+    from npvp_tpu.kernels.temporal_attention import PACK_LANES, _pack_factor
+    assert _pack_factor(4096, 20, 20, 64) == 4      # 4·20 ≤ 128 < 8·20
+    assert _pack_factor(4096, 16, 16, 64) == 8      # 8·16 = 128 exactly
+    assert _pack_factor(4096, 10, 10, 64) == 8      # capped by 16·10 > 128
+    assert _pack_factor(4096, 200, 200, 64) == 1    # too long to pack
+    assert _pack_factor(6, 10, 10, 64) == 2         # must divide B
+    assert PACK_LANES == 128

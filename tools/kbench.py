@@ -60,8 +60,16 @@ def main():
     bo = jnp.asarray(rng.standard_normal((C,), dtype=np.float32))
 
     variants = {
-        "base": make_fn(),
-        "oproj": make_fn(wo=wo, bo=bo),
+        # pack_sites=1 reproduces the round-3 shipping kernel; the autopick
+        # packs G=4 sites per MXU dot at T=20 (block-diagonal exact-zero
+        # softmax, kernels/temporal_attention.py PACK_LANES); p8 probes past
+        # the one-lane-tile cap (G·T = 160 → two lane tiles per dot)
+        "base_p1": make_fn(pack_sites=1),
+        "base_p4": make_fn(pack_sites=4),
+        "base_p8": make_fn(pack_sites=8),
+        "oproj_p1": make_fn(wo=wo, bo=bo, pack_sites=1),
+        "oproj_p4": make_fn(wo=wo, bo=bo, pack_sites=4),
+        "oproj_p8": make_fn(wo=wo, bo=bo, pack_sites=8),
     }
     for name, fn in list(variants.items()):
         t0 = time.perf_counter()
