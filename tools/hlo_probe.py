@@ -17,6 +17,18 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 OUT = "/tmp/pipeline_hlo.txt"
 
 
+def compile_and_dump_train():
+    """Dump the optimized HLO of the flagship stage-2 train step — the SAME
+    program tools/trace_probe.py train captures (shared builder)."""
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+    from trace_probe import build_train_program
+
+    train_step, args = build_train_program()
+    txt = train_step.lower(*args).compile().as_text()
+    pathlib.Path(OUT).write_text(txt)
+    print(f"wrote {OUT}: {len(txt) / 1e6:.1f} MB (train step)")
+
+
 def compile_and_dump():
     import jax
     import jax.numpy as jnp
@@ -129,6 +141,8 @@ if __name__ == "__main__":
     #        hlo_probe.py <op> ...   -> look up instruction(s) in the dump
     if len(sys.argv) > 1 and sys.argv[1] == "join":
         join_trace()
+    elif len(sys.argv) > 1 and sys.argv[1] == "train":
+        compile_and_dump_train()
     elif len(sys.argv) == 1 or sys.argv[1] in ("s2d", "pallas"):
         compile_and_dump()
     else:

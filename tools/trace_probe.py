@@ -25,6 +25,35 @@ OUT = "/tmp/npvp_trace"
 TRACE_ITERS = 3
 
 
+def build_train_program():
+    """The flagship stage-2 train step, EXACTLY as bench.py --train runs it
+    (shared fixture) — returned as (step_fn, args) so tools/hlo_probe.py and
+    this tracer probe the identical program."""
+    from bench import flagship_train_fixture
+    from npvp_tpu.models.predictor import build_predictor
+    from npvp_tpu.train.stage2_predictor import make_steps
+
+    cfg, mesh, ae, ae_vars, state, raw_batch = flagship_train_fixture()
+    predictor = build_predictor(cfg, jnp.bfloat16)
+    train_step, _, place, _, _, _ = make_steps(cfg, predictor, ae, ae_vars,
+                                               mesh, mode="rand_context")
+    return train_step, (state, place(raw_batch), jax.random.key(1))
+
+
+def trace_train():
+    """Capture a profiler trace of TRACE_ITERS flagship train steps."""
+    train_step, (state, batch, key) = build_train_program()
+    state, metrics = train_step(state, batch, key)  # compile
+    np.asarray(metrics["loss"])
+    jax.profiler.start_trace(OUT)
+    for i in range(TRACE_ITERS):
+        state, metrics = train_step(state, batch, jax.random.fold_in(key, i))
+    np.asarray(metrics["loss"])  # host fetch fences the tunnel
+    jax.profiler.stop_trace()
+    print("train trace written", flush=True)
+    summarize()
+
+
 def main():
     from __graft_entry__ import _flagship_config
     from npvp_tpu.models.coords import coordinate_grid, spatial_index_lists
@@ -109,5 +138,7 @@ def summarize(top=40):
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "summarize":
         summarize()
+    elif "train" in sys.argv[1:]:
+        trace_train()
     else:
         main()
