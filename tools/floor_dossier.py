@@ -42,10 +42,11 @@ PEAK_TFLOPS = 197e12   # TPU v5e bf16 MXU peak
 PEAK_BW = 819e9        # TPU v5e HBM bandwidth
 
 HLO_DUMP = "/tmp/pipeline_hlo.txt"
+TRACE_DIR = "/tmp/npvp_trace"
 
 
 def load_trace():
-    files = sorted(glob.glob("/tmp/npvp_trace/**/*.trace.json.gz",
+    files = sorted(glob.glob(TRACE_DIR + "/**/*.trace.json.gz",
                              recursive=True))
     if not files:
         raise SystemExit("no trace found — run tools/trace_probe.py first")

@@ -15,6 +15,7 @@ import sys
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 OUT = "/tmp/pipeline_hlo.txt"
+TRACE_DIR = "/tmp/npvp_trace"
 
 
 def compile_and_dump_train():
@@ -105,7 +106,7 @@ def join_trace(top=30):
     meta = {}
     for m in re.finditer(r'%(\S+?) = .*?metadata=\{op_name="([^"]*)"', txt):
         meta[m.group(1)] = m.group(2)
-    files = sorted(glob.glob("/tmp/npvp_trace/**/*.trace.json.gz",
+    files = sorted(glob.glob(TRACE_DIR + "/**/*.trace.json.gz",
                              recursive=True))
     if not files:
         print("no trace found — run tools/trace_probe.py first "
