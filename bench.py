@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -32,6 +33,41 @@ import numpy as np
 
 REFERENCE_FPS = 64 * 10 / 0.79  # ≈ 810 predicted frames/s (steady state)
 REFERENCE_TRAIN_MS = 404.0      # round-1 measured train step (this repo)
+
+# Wall-clock budget for the WHOLE bench run (round-3 VERDICT item "weak 2":
+# the driver killed bench.py at its own timeout after _wait_for_backend
+# burned 1200 s on a tunnel outage, losing the second JSON line). Every
+# phase below plans its repetitions against the remaining budget so both
+# JSON lines are emitted even after a stall.
+BENCH_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1800"))
+# Reserved for the train phase when it runs after serving: one remote
+# compile (30-600 s observed; median well under this) + a short bench.
+TRAIN_RESERVE_S = 420.0
+
+
+class _Deadline:
+    """Wall-clock budget tracker (monotonic)."""
+
+    def __init__(self, total_s: float):
+        self.t0 = time.monotonic()
+        self.total = total_s
+
+    def remaining(self) -> float:
+        return self.total - (time.monotonic() - self.t0)
+
+
+def _plan_blocks(default_blocks: int, block_est_s: float, remaining_s: float,
+                 reserve_s: float = 0.0) -> int:
+    """How many more measurement blocks fit in ``remaining_s - reserve_s``.
+
+    Scales the benchmark down (never up) when the run is behind its
+    wall-clock budget — at worst one block, so a JSON line is always
+    emitted once the program has compiled.
+    """
+    avail = remaining_s - reserve_s
+    if block_est_s <= 0:
+        return default_blocks
+    return int(max(1, min(default_blocks, avail // block_est_s)))
 
 # Serving exec mode for the headline number.
 # - "pallas" (round 3): fused per-site attention kernel for the temporal,
@@ -58,10 +94,12 @@ def _cost_diag(compiled, seconds, label):
         pass
 
 
-def bench_inference():
+def bench_inference(deadline: _Deadline | None = None,
+                    reserve_s: float = 0.0):
     from __graft_entry__ import _flagship_config
     from npvp_tpu.models.inference import VideoPredictor
 
+    deadline = deadline or _Deadline(BENCH_BUDGET_S)
     cfg = _flagship_config()
     vp = VideoPredictor.from_random_init(cfg, dtype=jnp.bfloat16,
                                          exec_mode=SERVING_EXEC_MODE)
@@ -85,11 +123,23 @@ def bench_inference():
 
     # streaming throughput: dispatch back-to-back, fence with a host fetch of
     # the last output only (programs execute serially on one chip); min over
-    # reps — the chip is shared, the minimum window is least contaminated
-    reps = 5
+    # reps — the chip is shared, the minimum window is least contaminated.
+    # The first block both measures and calibrates the per-block cost so the
+    # remaining blocks are planned against the wall-clock budget.
+    n = 20
     samples = []
-    for r in range(reps):
-        n = 20
+    t0 = time.perf_counter()
+    for i in range(n):
+        out = predict(frames, jax.random.fold_in(key, i))
+    np.asarray(out[0, 0, 0, 0])
+    block_s = time.perf_counter() - t0
+    samples.append(block_s / n)
+    blocks = _plan_blocks(4, block_s, deadline.remaining(), reserve_s)
+    if blocks < 4:
+        print(f"[inference] behind budget ({deadline.remaining():.0f}s left,"
+              f" {reserve_s:.0f}s reserved) — {blocks} extra blocks instead"
+              " of 4", file=sys.stderr)
+    for r in range(1, blocks + 1):
         t0 = time.perf_counter()
         for i in range(n):
             out = predict(frames, jax.random.fold_in(key, r * n + i))
@@ -113,7 +163,7 @@ def bench_inference():
         "value": round(fps, 1),
         "unit": "frames/s",
         "vs_baseline": round(fps / REFERENCE_FPS, 2),
-    }))
+    }), flush=True)
 
 
 def flagship_train_fixture(batch: int = 8):
@@ -148,26 +198,46 @@ def flagship_train_fixture(batch: int = 8):
     return cfg, mesh, ae, ae_vars, state, raw_batch
 
 
-def bench_train():
+def flagship_train_program(batch: int = 8):
+    """(train_step, (state, placed_batch, key), cfg) — THE stage-2 program
+    this file's ``bench_train`` times and tools/{hlo,trace}_probe.py ``train``
+    dump/trace. One construction site (advisor round-3) so the HLO+trace
+    join always matches the benchmarked program."""
     from npvp_tpu.models.predictor import build_predictor
     from npvp_tpu.train.stage2_predictor import make_steps
 
-    cfg, mesh, ae, ae_vars, state, raw_batch = flagship_train_fixture()
+    cfg, mesh, ae, ae_vars, state, raw_batch = flagship_train_fixture(batch)
     predictor = build_predictor(cfg, jnp.bfloat16)  # training = "xla" mode
     train_step, _, place, _, _, _ = make_steps(cfg, predictor, ae, ae_vars,
-                                            mesh, mode="rand_context")
+                                               mesh, mode="rand_context")
+    return train_step, (state, place(raw_batch), jax.random.key(1)), cfg
+
+
+def bench_train(deadline: _Deadline | None = None):
+    deadline = deadline or _Deadline(BENCH_BUDGET_S)
+    train_step, (state, batch_data, key), cfg = flagship_train_program()
     batch = cfg.Dataset.batch_size
-    batch_data = place(raw_batch)
-    key = jax.random.key(1)
     state, metrics = train_step(state, batch_data, key)  # compile
     np.asarray(metrics["loss"])
 
     # min over reps: the chip is shared with other tenants (observed
     # several-fold throughput swings — CLAUDE.md), so the minimum window is
-    # the least-contaminated estimate of the program's own cost
+    # the least-contaminated estimate of the program's own cost. First block
+    # calibrates the block cost; the rest are planned against the budget.
+    n = 5
     samples = []
-    for r in range(4):
-        n = 5
+    t0 = time.perf_counter()
+    for i in range(n):
+        state, metrics = train_step(state, batch_data,
+                                    jax.random.fold_in(key, i))
+    np.asarray(metrics["loss"])
+    block_s = time.perf_counter() - t0
+    samples.append(block_s / n)
+    blocks = _plan_blocks(3, block_s, deadline.remaining())
+    if blocks < 3:
+        print(f"[train] behind budget ({deadline.remaining():.0f}s left) — "
+              f"{blocks} extra blocks instead of 3", file=sys.stderr)
+    for r in range(1, blocks + 1):
         t0 = time.perf_counter()
         for i in range(n):
             state, metrics = train_step(state, batch_data,
@@ -181,17 +251,24 @@ def bench_train():
         "value": round(ms, 1),
         "unit": "ms/step",
         "vs_baseline": round(REFERENCE_TRAIN_MS / ms, 2),
-    }))
+    }), flush=True)
 
 
-def _wait_for_backend(max_wait_s: float = 1200.0) -> None:
+def _wait_for_backend(max_wait_s: float = 600.0, sleep_s: float = 60.0,
+                      probe_timeout_s: float = 300.0) -> bool:
     """The axon TPU tunnel goes UNAVAILABLE (or hangs on init) for stretches
     of tens of minutes (observed round 3). Probe it in a subprocess — a hung
     in-process backend init is unrecoverable — and retry for up to
-    ``max_wait_s`` so a transient outage doesn't void the benchmark run."""
+    ``max_wait_s`` so a transient outage doesn't void the benchmark run.
+
+    Bounded: round 3's driver artifact was half-lost because this wait ate
+    the whole driver window; the wait now never exceeds ``max_wait_s`` so
+    the measurement phases keep the rest of BENCH_BUDGET_S. Returns whether
+    the backend responded.
+    """
     import subprocess
 
-    deadline = time.time() + max_wait_s
+    deadline = time.monotonic() + max_wait_s
     attempt = 0
     while True:
         attempt += 1
@@ -200,8 +277,9 @@ def _wait_for_backend(max_wait_s: float = 1200.0) -> None:
                 [sys.executable, "-c",
                  "import jax, numpy as np; x = jax.numpy.ones((128, 128));"
                  "np.asarray(x @ x)"],
-                capture_output=True, timeout=max(60, min(300, deadline -
-                                                         time.time())))
+                capture_output=True,
+                timeout=max(30, min(probe_timeout_s,
+                                    deadline - time.monotonic())))
             ok = probe.returncode == 0
         except subprocess.TimeoutExpired:
             ok = False  # init hang — the common failure mode
@@ -209,15 +287,15 @@ def _wait_for_backend(max_wait_s: float = 1200.0) -> None:
             if attempt > 1:
                 print(f"[bench] backend up after {attempt} probes",
                       file=sys.stderr)
-            return
-        if time.time() > deadline:
+            return True
+        if time.monotonic() > deadline - sleep_s:
             print("[bench] backend still unavailable after "
                   f"{max_wait_s:.0f}s; proceeding (will fail loudly)",
                   file=sys.stderr)
-            return
-        print("[bench] backend unavailable, retrying in 120s",
+            return False
+        print(f"[bench] backend unavailable, retrying in {sleep_s:.0f}s",
               file=sys.stderr)
-        time.sleep(120)
+        time.sleep(sleep_s)
 
 
 def main():
@@ -225,14 +303,20 @@ def main():
     parser.add_argument("--train", action="store_true",
                         help="benchmark the stage-2 train step instead")
     args = parser.parse_args()
-    _wait_for_backend()
+    deadline = _Deadline(BENCH_BUDGET_S)
+    # the wait gets at most 1/3 of the budget — the phases need the rest
+    _wait_for_backend(max_wait_s=min(600.0, BENCH_BUDGET_S / 3))
     if args.train:
-        bench_train()
+        bench_train(deadline)
     else:
-        bench_inference()
-        # second JSON line: the driver's BENCH capture records training
-        # throughput across rounds too (round-2 verdict item 6)
-        bench_train()
+        try:
+            bench_inference(deadline, reserve_s=TRAIN_RESERVE_S)
+        finally:
+            # second JSON line: the driver's BENCH capture records training
+            # throughput across rounds too (round-2 verdict item 6). Emit it
+            # even if the serving phase failed — one lost metric must not
+            # lose both (round-3 verdict item 4).
+            bench_train(deadline)
 
 
 if __name__ == "__main__":

@@ -189,6 +189,15 @@ class Config:
                 raise ValueError(
                     f"VFI frames ({vfi_clip}) incompatible with clip length {clip}"
                 )
+        if p.rand_context and not (1 <= p.min_lo <= p.max_lo < p.max_T):
+            # the rand-context split point lo ∈ [min_lo, max_lo] must leave
+            # at least one observed and one target frame in a max_T clip
+            # (reference collate, utils/dataset.py:162-178) — out-of-range
+            # values silently produce an all-observed/no-target batch whose
+            # failure mode is an opaque shape error deep in the model
+            raise ValueError(
+                f"rand_context needs 1 <= min_lo ({p.min_lo}) <= max_lo "
+                f"({p.max_lo}) < max_T ({p.max_T})")
         if p.embed_dim % p.num_heads != 0:
             raise ValueError("embed_dim must be divisible by num_heads")
         if p.fuse_method not in ("Add", "SPADE"):

@@ -114,12 +114,17 @@ class BatchLoader:
                                     self.process_index]))
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = object()
+        failure: list[BaseException] = []
 
         def producer():
             try:
                 for b in range(n_batches):
                     ids = idx[b * self.batch_size:(b + 1) * self.batch_size]
                     q.put(self._make_batch(ids, batch_rng))
+            except BaseException as exc:  # propagate to the consumer —
+                # swallowing a decode error here would silently truncate the
+                # epoch and training would quietly continue on partial data
+                failure.append(exc)
             finally:
                 q.put(stop)
 
@@ -131,6 +136,9 @@ class BatchLoader:
                 break
             yield item
         t.join()
+        if failure:
+            raise RuntimeError(
+                f"data producer failed at epoch {self.epoch}") from failure[0]
 
 
 class DataModule:
@@ -167,7 +175,10 @@ class DataModule:
                    else d.num_future_frames)
             return StochasticMovingMNIST(
                 d.dir, train=(split != "test"), num_past_frames=past,
-                num_future_frames=fut,
+                num_future_frames=fut, image_size=d.img_size,
+                # the generator must honor cfg.Dataset.img_size — defaulting
+                # to 64 while the predictor's coordinate grid follows
+                # img_size caused an opaque shape mismatch at non-64 sizes
                 transform=(self.train_transform if split == "train"
                            else self.test_transform))
         tf = self.train_transform if split == "train" else self.test_transform
@@ -219,10 +230,10 @@ class DataModule:
             ds = self._build_split(split)
             d = self.cfg.Dataset
             if split == "train" and d.phase == "deploy":
-                try:
-                    ds = D.ConcatDataset([ds, self._build_split("val")])
-                except Exception:
-                    pass
+                # reference utils/dataset.py:106-107 merges train+val
+                # unconditionally; a failure to build the val split must
+                # surface, not silently drop the val data from the epoch
+                ds = D.ConcatDataset([ds, self._build_split("val")])
             if d.dev_set_size is not None and split in ("train", "val"):
                 size = min(d.dev_set_size, len(ds))
                 ds = D.SubsetDataset(ds, np.arange(size))

@@ -78,6 +78,10 @@ class StochasticMovingMNIST:
         self.seq_len = num_past_frames + num_future_frames
         self.num_digits = num_digits
         self.image_size = image_size
+        if digit_size >= image_size:
+            # keep room for motion at non-default frame sizes (the reference
+            # is 64/32 only); S == D would make the placement range empty
+            digit_size = max(4, image_size // 2)
         self.digit_size = digit_size
         self.deterministic = deterministic
         self.transform = transform

@@ -55,6 +55,11 @@ class VideoPredictor:
         from npvp_tpu.train.stage2_predictor import init_predictor_state
         from npvp_tpu.core.checkpoint import CheckpointManager
 
+        if str(predictor_ckpt_dir).endswith(".npz"):
+            # a committed weights artifact (tools/export_weights.py) holds
+            # BOTH the frozen AE and the predictor variables
+            return cls.from_weights(cfg, predictor_ckpt_dir, dtype=dtype,
+                                    exec_mode=exec_mode)
         ae = build_ae(cfg, dtype)
         d = cfg.Dataset
         clip_len = d.num_past_frames + d.num_future_frames
@@ -70,6 +75,21 @@ class VideoPredictor:
                    predictor,
                    {"params": pred_state.params,
                     "batch_stats": pred_state.batch_stats})
+
+    @classmethod
+    def from_weights(cls, cfg: Config, npz_path,
+                     dtype=jnp.bfloat16,
+                     exec_mode: Optional[str] = None) -> "VideoPredictor":
+        """Build from a committed weights artifact (one .npz holding AE +
+        predictor params/batch_stats — npvp_tpu/tools/export_weights.py)."""
+        from npvp_tpu.tools.export_weights import load_weights
+        from npvp_tpu.train.stage1_ae import build_ae
+
+        ae_vars, pred_vars, _meta = load_weights(npz_path)
+        ae = build_ae(cfg, dtype)
+        predictor = build_predictor(cfg, dtype, exec_mode=exec_mode)
+        as_jnp = lambda t: jax.tree.map(jnp.asarray, t)  # noqa: E731
+        return cls(cfg, ae, as_jnp(ae_vars), predictor, as_jnp(pred_vars))
 
     @classmethod
     def from_random_init(cls, cfg: Config, dtype=jnp.bfloat16, seed: int = 0,

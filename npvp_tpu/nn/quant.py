@@ -32,6 +32,17 @@ from flax import linen as nn
 
 _EPS = 1e-8
 
+# Static-calibration experiment (round-3 VERDICT item 6): when set, every
+# int8 activation quantization uses this FIXED scale instead of computing
+# per-token abs-max at runtime — deleting the reduction pass and the
+# per-row rescale vector that round 2 measured as the dynamic pipeline's
+# end-to-end loss (221.6 vs 179.5 ms bf16). A single scalar reproduces the
+# compute/traffic structure of a per-site-calibrated program exactly (the
+# scale is a program constant either way), which is what the perf A/B
+# needs; per-site values only matter for fidelity. Trace-time: set before
+# building the program (tools/ab_int8_static.py).
+STATIC_ACT_SCALE = None
+
 
 def quantize_rowwise(x: jnp.ndarray, n_contract: int = 1
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -41,7 +52,14 @@ def quantize_rowwise(x: jnp.ndarray, n_contract: int = 1
     abs-max over them defines the scale. Returns ``(q, scale)`` where
     ``q = round(x / scale)`` in [-127, 127] and ``scale`` has the row shape
     (keepdims, fp32).
+
+    With :data:`STATIC_ACT_SCALE` set, the scale is that constant instead
+    (shape ``(1,)*ndim`` — broadcast-compatible with the dynamic row shape).
     """
+    if STATIC_ACT_SCALE is not None:
+        scale = jnp.full((1,) * x.ndim, float(STATIC_ACT_SCALE), jnp.float32)
+        q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+        return q.astype(jnp.int8), scale
     axes = tuple(range(x.ndim - n_contract, x.ndim))
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=axes, keepdims=True)
     scale = jnp.maximum(amax, _EPS) / 127.0

@@ -21,7 +21,11 @@ def build_argparser(description: str) -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description=description)
     parser.add_argument("--config_path", type=str, required=True)
     parser.add_argument("--override", nargs="*", default=[],
-                        help="Group.key=value config overrides")
+                        action="extend",
+                        help="Group.key=value config overrides; the flag "
+                             "may repeat and the lists accumulate (so a "
+                             "supervisor can append a resume override "
+                             "without clobbering the user's)")
     parser.add_argument("--smoke", action="store_true",
                         help="tiny shapes / few steps, for CI smoke runs")
     return parser

@@ -45,6 +45,21 @@ def test_validation_errors():
     with pytest.raises(ValueError):
         cfg.validate()
 
+    # rand-context split bounds must fit the clip: shrinking max_T without
+    # adjusting min_lo/max_lo used to fail as an opaque shape error deep in
+    # event_coding instead of a config error (found by a smoke drive)
+    cfg = Config()
+    cfg.Dataset.num_past_frames = 2
+    cfg.Dataset.num_future_frames = 2
+    cfg.Predictor.max_T = 4
+    cfg.Predictor.rand_context = True
+    cfg.Predictor.min_lo = 5
+    cfg.Predictor.max_lo = 10
+    with pytest.raises(ValueError, match="rand_context needs"):
+        cfg.validate()
+    cfg.Predictor.min_lo, cfg.Predictor.max_lo = 1, 3
+    cfg.validate()
+
 
 def test_load_json_roundtrip(tmp_path):
     cfg = Config()

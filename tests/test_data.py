@@ -312,3 +312,109 @@ def test_datamodule_movingmnist_npz(tmp_path):
     assert batch["past"].max() <= 1.0  # /255 scaling
     tb = next(iter(dm.test_loader()))
     assert tb["past"].shape[1:] == (2, 8, 8, 1)
+
+
+class _RaisingDataset:
+    """A dataset whose item 5 fails — simulating a decode error mid-epoch."""
+
+    def __init__(self, n=16, boom=5):
+        self.n, self.boom = n, boom
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i, rng=None):
+        if i == self.boom:
+            raise OSError(f"decode error on item {i}")
+        return np.zeros((4, 8, 8, 1), np.float32)
+
+
+def test_loader_propagates_producer_exception():
+    """A worker failure must fail the epoch, not silently truncate it
+    (round-3 VERDICT weak 3: the producer's `finally: q.put(stop)` used to
+    convert any exception into an early end-of-epoch)."""
+    loader = BatchLoader(_RaisingDataset(), 4, shuffle=False, num_past=2,
+                         num_future=2, num_workers=1)
+    with pytest.raises(RuntimeError, match="data producer failed") as ei:
+        list(loader)
+    assert isinstance(ei.value.__cause__, OSError)
+
+    # multi-worker path propagates too (ThreadPoolExecutor.map re-raises)
+    loader = BatchLoader(_RaisingDataset(), 4, shuffle=False, num_past=2,
+                         num_future=2, num_workers=3)
+    with pytest.raises(RuntimeError, match="data producer failed"):
+        list(loader)
+
+
+def test_loader_yields_batches_before_failure():
+    """Batches ahead of the failing item still arrive, then the epoch fails."""
+    loader = BatchLoader(_RaisingDataset(boom=9), 4, shuffle=False,
+                         num_past=2, num_future=2, num_workers=1)
+    it = iter(loader)
+    first = next(it)
+    assert first["past"].shape == (4, 2, 8, 8, 1)
+    with pytest.raises(RuntimeError, match="data producer failed"):
+        list(it)
+
+
+def test_deploy_merge_failure_propagates(tmp_path):
+    """phase=deploy merges train+val (reference utils/dataset.py:106-107);
+    a broken val split must raise, not silently drop the val data
+    (round-3 VERDICT weak 3: `except Exception: pass`)."""
+    frames = (np.zeros((4, 6, 16, 16)) * 255).astype(np.uint8)
+    np.savez(tmp_path / "moving-mnist-train.npz", frames)
+    # moving-mnist-valid.npz deliberately missing
+    cfg = Config()
+    cfg.Dataset.name = "MovingMNIST"
+    cfg.Dataset.dir = str(tmp_path)
+    cfg.Dataset.num_past_frames = 2
+    cfg.Dataset.num_future_frames = 2
+    cfg.Dataset.phase = "deploy"
+    dm = DataModule(cfg)
+    with pytest.raises(FileNotFoundError):
+        dm.dataset("train")
+
+
+def test_deploy_merge_includes_val(tmp_path):
+    """Deploy phase epoch length = train + val clips (KTH: persons 1-16 sans
+    5 for train, person 5 for val)."""
+    from PIL import Image
+
+    for person in (1, 5):
+        d = tmp_path / "boxing" / f"person{person:02d}_boxing_d1"
+        d.mkdir(parents=True)
+        for i in range(4):
+            Image.new("L", (64, 64), i).save(d / f"{i:03d}.png")
+    cfg = Config()
+    cfg.Dataset.name = "KTH"
+    cfg.Dataset.dir = str(tmp_path)
+    cfg.Dataset.num_past_frames = 2
+    cfg.Dataset.num_future_frames = 2
+    cfg.Dataset.phase = "deploy"
+    merged = DataModule(cfg).dataset("train")
+    cfg2 = Config()
+    cfg2.Dataset.name = "KTH"
+    cfg2.Dataset.dir = str(tmp_path)
+    cfg2.Dataset.num_past_frames = 2
+    cfg2.Dataset.num_future_frames = 2
+    cfg2.Dataset.phase = "debug"
+    alone = DataModule(cfg2).dataset("train")
+    # 4 frames per folder / clip_length 4 = 1 clip; train = person 1 only,
+    # deploy merge adds val person 5
+    assert len(alone) == 1 and len(merged) == 2
+
+
+def test_smmnist_honors_img_size():
+    """The SMMNIST generator must follow cfg.Dataset.img_size (found by a
+    smoke drive: a 64-default while coords/AE follow img_size produced an
+    opaque reshape error deep in event_coding)."""
+    cfg = Config()
+    cfg.Dataset.name = "SMMNIST"
+    cfg.Dataset.img_size = 32
+    cfg.Dataset.batch_size = 2
+    cfg.Dataset.num_past_frames = 2
+    cfg.Dataset.num_future_frames = 2
+    cfg.Dataset.dev_set_size = 4
+    cfg.Dataset.num_workers = 1
+    batch = next(iter(DataModule(cfg).train_loader()))
+    assert batch["past"].shape == (2, 2, 32, 32, 1)

@@ -62,7 +62,6 @@ def test_floor_dossier_aggregation(tmp_path, monkeypatch, capsys):
     assert "device total 2.5 ms/batch" in out
     assert "floor for this HLO 1.5 ms" in out
     assert "1.67x above SoL" in out
-    lines = {l.split()[0]: l for l in out.splitlines() if " ms " not in l}
     conv = next(l for l in out.splitlines() if l.startswith("convolution"))
     # eff = SoL/ms = 0.50; achieved = half of each peak → MXU-bound
     assert "0.50" in conv and conv.rstrip().endswith("MXU")

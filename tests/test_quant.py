@@ -141,3 +141,34 @@ def test_full_pipeline_int8_psnr_drift():
     mse = np.mean((a - b) ** 2)
     psnr_db = 10 * np.log10(4.0 / mse)  # Tanh output range 2
     assert psnr_db > 40.0, psnr_db
+
+
+def test_static_act_scale_matches_dynamic():
+    """STATIC_ACT_SCALE (the static-calibration experiment, round-3 VERDICT
+    item 6) must reproduce the dynamic path's math when set to the batch's
+    true abs-max/127 — and restore dynamic behavior when cleared."""
+    import npvp_tpu.nn.quant as q
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((4, 6, 8), np.float32)
+    w = rng.standard_normal((8, 5), np.float32)
+    ref = x @ w
+    try:
+        q.STATIC_ACT_SCALE = float(np.abs(x).max() / 127.0)
+        out = np.asarray(q.int8_contract(jnp.asarray(x), jnp.asarray(w),
+                                         out_dtype=jnp.float32))
+        # per-tensor scale is coarser than per-row but bounded at int8 grain
+        assert np.abs(out - ref).max() / np.abs(ref).max() < 0.02
+        # 2-axis contraction (the attention out-projection shape)
+        x2 = rng.standard_normal((3, 7, 2, 4), np.float32)
+        w2 = rng.standard_normal((2, 4, 5), np.float32)
+        ref2 = np.einsum("bthd,hdc->btc", x2, w2)
+        out2 = np.asarray(q.int8_contract(jnp.asarray(x2), jnp.asarray(w2),
+                                          n_contract=2,
+                                          out_dtype=jnp.float32))
+        assert np.abs(out2 - ref2).max() / np.abs(ref2).max() < 0.05
+    finally:
+        q.STATIC_ACT_SCALE = None
+    dyn = np.asarray(q.int8_contract(jnp.asarray(x), jnp.asarray(w),
+                                     out_dtype=jnp.float32))
+    assert np.abs(dyn - ref).max() / np.abs(ref).max() < 0.02

@@ -1,0 +1,103 @@
+#!/usr/bin/env bash
+# Run supervisor for long TPU training runs (round-3 lesson, VERDICT item 1):
+# the axon tunnel goes UNAVAILABLE for stretches of hours, in two modes —
+# the trainer process CRASHES (backend init raises) or it STALLS (a hung
+# in-process backend call that never returns). This wrapper relaunches the
+# trainer on both, resuming from its own checkpoints.
+#
+# Usage:
+#   tools/supervise.sh -l LOGFILE -c CKPT_DIR -k Group.resume_ckpt \
+#       [-s STALL_SECS] [-n MAX_RELAUNCHES] [-d RETRY_DELAY_SECS] \
+#       -- python -m npvp_tpu.train.stage2_predictor --config_path CFG \
+#            --override Env.steps_per_dispatch=16
+#
+# Behavior:
+#   * runs the command, appending stdout+stderr to LOGFILE;
+#   * whenever CKPT_DIR already contains a checkpoint (a numeric step
+#     subdirectory), appends `--override Group.resume_ckpt=CKPT_DIR` so the
+#     (re)launch resumes instead of restarting — the trainer CLI's --override
+#     flag accumulates across repeats (train/common.py build_argparser);
+#   * kills (by PID, never by pattern) and relaunches if LOGFILE stays
+#     silent for STALL_SECS (default 1800 — the first remote compile can
+#     legitimately take 600 s);
+#   * relaunches on nonzero exit after RETRY_DELAY (default 60 s);
+#   * exits 0 when the trainer completes, 1 after MAX_RELAUNCHES failures.
+set -u
+
+STALL_S=1800
+MAX_RELAUNCHES=100
+RETRY_DELAY=60
+LOG="" CKPT="" KEY=""
+
+while getopts "l:c:k:s:n:d:" opt; do
+    case "$opt" in
+        l) LOG=$OPTARG ;;
+        c) CKPT=$OPTARG ;;
+        k) KEY=$OPTARG ;;
+        s) STALL_S=$OPTARG ;;
+        n) MAX_RELAUNCHES=$OPTARG ;;
+        d) RETRY_DELAY=$OPTARG ;;
+        *) echo "usage: see header of $0" >&2; exit 2 ;;
+    esac
+done
+shift $((OPTIND - 1))
+if [ "${1:-}" = "--" ]; then shift; fi
+if [ -z "$LOG" ] || [ -z "$CKPT" ] || [ -z "$KEY" ] || [ $# -eq 0 ]; then
+    echo "usage: $0 -l LOG -c CKPT_DIR -k Group.resume_ckpt -- CMD..." >&2
+    exit 2
+fi
+
+mkdir -p "$(dirname "$LOG")"
+PIDFILE="${LOG}.pid"
+
+note() { echo "[supervise $(date -u +%H:%M:%S)] $*" | tee -a "$LOG" >&2; }
+
+has_ckpt() {
+    # Orbax layout: one numeric subdirectory per saved step
+    compgen -G "$CKPT/[0-9]*" > /dev/null 2>&1
+}
+
+run_once() {
+    "$@" >> "$LOG" 2>&1 &
+    local pid=$!
+    echo "$pid" > "$PIDFILE"
+    while kill -0 "$pid" 2>/dev/null; do
+        sleep 5
+        if [ -f "$LOG" ]; then
+            local age=$(( $(date +%s) - $(stat -c %Y "$LOG") ))
+            if [ "$age" -gt "$STALL_S" ]; then
+                note "STALL: log silent ${age}s > ${STALL_S}s — killing $pid"
+                kill "$pid" 2>/dev/null
+                sleep 5
+                kill -9 "$pid" 2>/dev/null
+                wait "$pid" 2>/dev/null
+                return 99
+            fi
+        fi
+    done
+    wait "$pid"
+}
+
+attempt=0
+while :; do
+    extra=()
+    if has_ckpt; then
+        extra=(--override "$KEY=$CKPT")
+        note "launching with resume: $KEY=$CKPT"
+    else
+        note "launching fresh (no checkpoint in $CKPT yet)"
+    fi
+    run_once "$@" "${extra[@]}"
+    rc=$?
+    if [ "$rc" -eq 0 ]; then
+        note "trainer completed (rc=0) after $attempt relaunch(es)"
+        exit 0
+    fi
+    attempt=$((attempt + 1))
+    if [ "$attempt" -ge "$MAX_RELAUNCHES" ]; then
+        note "giving up after $attempt relaunches (last rc=$rc)"
+        exit 1
+    fi
+    note "trainer died (rc=$rc) — relaunch $attempt/$MAX_RELAUNCHES in ${RETRY_DELAY}s"
+    sleep "$RETRY_DELAY"
+done

@@ -26,18 +26,14 @@ TRACE_ITERS = 3
 
 
 def build_train_program():
-    """The flagship stage-2 train step, EXACTLY as bench.py --train runs it
-    (shared fixture) — returned as (step_fn, args) so tools/hlo_probe.py and
-    this tracer probe the identical program."""
-    from bench import flagship_train_fixture
-    from npvp_tpu.models.predictor import build_predictor
-    from npvp_tpu.train.stage2_predictor import make_steps
+    """The flagship stage-2 train step, EXACTLY as bench.py --train runs it:
+    both call ``bench.flagship_train_program`` (the single construction
+    site) so tools/hlo_probe.py and this tracer probe the identical
+    program."""
+    from bench import flagship_train_program
 
-    cfg, mesh, ae, ae_vars, state, raw_batch = flagship_train_fixture()
-    predictor = build_predictor(cfg, jnp.bfloat16)
-    train_step, _, place, _, _, _ = make_steps(cfg, predictor, ae, ae_vars,
-                                               mesh, mode="rand_context")
-    return train_step, (state, place(raw_batch), jax.random.key(1))
+    train_step, args, _cfg = flagship_train_program()
+    return train_step, args
 
 
 def trace_train():
@@ -138,7 +134,10 @@ def summarize(top=40):
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "summarize":
         summarize()
-    elif "train" in sys.argv[1:]:
+    elif len(sys.argv) > 1 and sys.argv[1] == "train":
+        # exact match, same rule as hlo_probe.py — `trace_probe.py s2d train`
+        # must NOT silently trace the train program while hlo_probe dumps
+        # the s2d serving HLO (the join requires identical programs)
         trace_train()
     else:
         main()
