@@ -88,11 +88,48 @@ def load_weights(path: str | Path) -> Tuple[dict, dict, dict]:
             if v.dtype in (np.float16, np.float64):
                 v = v.astype(np.float32)
             flat[k] = v
-    tree = _unflatten(flat)["vars"]
-    ae_vars = {k: tree["ae"].get(k, {}) for k in ("params", "batch_stats")}
-    pred_vars = {k: tree["pred"].get(k, {}) for k in ("params",
-                                                      "batch_stats")}
+    # empty halves (e.g. an AE-only artifact) flatten to no keys at all
+    tree = _unflatten(flat).get("vars", {})
+    ae_vars = {k: tree.get("ae", {}).get(k, {})
+               for k in ("params", "batch_stats")}
+    pred_vars = {k: tree.get("pred", {}).get(k, {})
+                 for k in ("params", "batch_stats")}
     return ae_vars, pred_vars, meta
+
+
+def warm_start_state(state, npz_path: str | Path, which: str):
+    """Adopt a committed weights artifact into a fresh TrainState.
+
+    ``which`` selects the ``"ae"`` or ``"pred"`` half of the artifact. The
+    returned state carries the artifact's params/batch_stats (cast to the
+    template's dtypes), the artifact's saved step (so ``start_epoch``
+    derives correctly), and *fresh* optimizer moments — the artifact
+    deliberately omits them to stay git-committable, so a warm-started run
+    is a continuation of the weights, not a bit-exact resume of the
+    optimizer trajectory. Shapes are validated leaf-by-leaf up front.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    ae_vars, pred_vars, meta = load_weights(npz_path)
+    loaded = ae_vars if which == "ae" else pred_vars
+
+    def adopt(path, tmpl, val):
+        val = np.asarray(val)
+        if tuple(tmpl.shape) != val.shape:
+            name = SEP.join(str(getattr(p, "key", p)) for p in path)
+            raise ValueError(
+                f"weights artifact {npz_path}: '{which}/{name}' has shape "
+                f"{val.shape}, model expects {tuple(tmpl.shape)} — config "
+                "mismatch?")
+        return jnp.asarray(val, dtype=tmpl.dtype)
+
+    params = jax.tree_util.tree_map_with_path(
+        adopt, state.params, loaded["params"])
+    batch_stats = jax.tree_util.tree_map_with_path(
+        adopt, state.batch_stats, loaded["batch_stats"])
+    step = int(meta.get(f"{which}_step", 0))
+    return state.replace(params=params, batch_stats=batch_stats, step=step)
 
 
 def main(argv=None):

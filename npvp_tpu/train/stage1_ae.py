@@ -117,8 +117,14 @@ def train(cfg: Config, max_steps: int | None = None) -> TrainState:
                              monitor="L1_loss_valid", mode="min")
     start_epoch = cfg.AE.start_epoch
     if cfg.AE.resume_ckpt:
-        resume = CheckpointManager(cfg.AE.resume_ckpt)
-        state = resume.restore(state)
+        if str(cfg.AE.resume_ckpt).endswith(".npz"):
+            # warm-start from a committed weights artifact (fresh moments)
+            from npvp_tpu.tools.export_weights import warm_start_state
+
+            state = warm_start_state(state, cfg.AE.resume_ckpt, which="ae")
+        else:
+            resume = CheckpointManager(cfg.AE.resume_ckpt)
+            state = resume.restore(state)
         start_epoch = int(state.step) // max(1, dm.len_train_loader or 1)
 
     logger = MetricsLogger(cfg.AE.tensorboard_save_dir)

@@ -55,8 +55,16 @@ def load_frozen_ae(cfg: Config, dtype) -> Tuple[FrameAutoEncoder, dict]:
     template = ae_init_state(cfg, ae,
                              (1, clip_len, d.img_size, d.img_size,
                               d.img_channels))
-    mngr = CheckpointManager(cfg.Predictor.resume_AE_ckpt)
-    restored = mngr.restore(template)
+    if str(cfg.Predictor.resume_AE_ckpt).endswith(".npz"):
+        # committed weights artifact (npvp_tpu/tools/export_weights.py) —
+        # the only stage-1 state that survives a filesystem wipe
+        from npvp_tpu.tools.export_weights import warm_start_state
+
+        restored = warm_start_state(template, cfg.Predictor.resume_AE_ckpt,
+                                    which="ae")
+    else:
+        mngr = CheckpointManager(cfg.Predictor.resume_AE_ckpt)
+        restored = mngr.restore(template)
     variables = {"params": restored.params,
                  "batch_stats": restored.batch_stats}
     return ae, jax.lax.stop_gradient(variables)
@@ -409,9 +417,19 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> TrainState:
 
     state = init_predictor_state(cfg, predictor, dm.len_train_loader or 1)
     if cfg.Predictor.init_det_ckpt_for_vae:
-        det_mngr = CheckpointManager(cfg.Predictor.init_det_ckpt_for_vae)
-        det = det_mngr.restore(state)  # shapes differ where stochastic-only
-        state = state.replace(params=merge_det_init(det.params, state.params))
+        det_src = str(cfg.Predictor.init_det_ckpt_for_vae)
+        if det_src.endswith(".npz"):
+            # D→S init from a committed weights artifact: shapes differ
+            # where stochastic-only, so take the raw tree and merge
+            from npvp_tpu.tools.export_weights import load_weights
+
+            _, det_pred, _ = load_weights(det_src)
+            det_params = jax.tree.map(jnp.asarray, det_pred["params"])
+        else:
+            det = CheckpointManager(det_src).restore(state)
+            det_params = det.params  # shapes differ where stochastic-only
+        state = state.replace(
+            params=merge_det_init(det_params, state.params))
     state = shard_state(mesh, state, fsdp=cfg.Env.fsdp)
 
     if is_main_process():
@@ -423,7 +441,17 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> TrainState:
                              monitor="loss_val", mode="min")
     start_epoch = cfg.Predictor.start_epoch
     if cfg.Predictor.resume_ckpt:
-        state = CheckpointManager(cfg.Predictor.resume_ckpt).restore(state)
+        if str(cfg.Predictor.resume_ckpt).endswith(".npz"):
+            # warm-start from a committed weights artifact: params +
+            # batch_stats + step, fresh optimizer moments (the artifact
+            # omits them by design — see tools/export_weights.py)
+            from npvp_tpu.tools.export_weights import warm_start_state
+
+            state = warm_start_state(state, cfg.Predictor.resume_ckpt,
+                                     which="pred")
+        else:
+            state = CheckpointManager(
+                cfg.Predictor.resume_ckpt).restore(state)
         start_epoch = int(state.step) // max(1, dm.len_train_loader or 1)
         # restored arrays → mesh layout
         state = shard_state(mesh, state, fsdp=cfg.Env.fsdp)

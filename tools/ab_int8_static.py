@@ -98,6 +98,13 @@ def main():
     t0 = time.perf_counter(); np.asarray(fns["bf16"](*args)).ravel()[:1]
     print(f"bf16: compiled in {time.perf_counter() - t0:.0f}s", flush=True)
 
+    # the serving headline runs exec_mode="pallas" — int8_static must beat
+    # THIS arm (not just xla-bf16) to move the headline
+    pred_pl = build_predictor(cfg, jnp.bfloat16, exec_mode="pallas")
+    fns["pallas"] = make_scanned(vp.ae, pred_pl, oc, tc)
+    t0 = time.perf_counter(); np.asarray(fns["pallas"](*args)).ravel()[:1]
+    print(f"pallas: compiled in {time.perf_counter() - t0:.0f}s", flush=True)
+
     names = list(fns)
     times = {n: [] for n in names}
     for i in range(PAIRS):
@@ -114,7 +121,9 @@ def main():
           flush=True)
     print(f"bf16/int8_static = {med['bf16'] / med['int8_static']:.3f} "
           f"(>1 means static int8 wins); "
-          f"int8_dyn/int8_static = {med['int8_dyn'] / med['int8_static']:.3f}",
+          f"int8_dyn/int8_static = {med['int8_dyn'] / med['int8_static']:.3f}; "
+          f"pallas/int8_static = {med['pallas'] / med['int8_static']:.3f} "
+          f"(>1 means it beats the serving default)",
           flush=True)
 
 
