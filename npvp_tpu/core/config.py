@@ -109,6 +109,11 @@ class PredictorConfig:
     # runtimes a save pulls the full optimizer state device→host (~1.2 GB at
     # flagship scale), so sparser saves matter for wall-clock.
     ckpt_per_epochs: int = 1
+    # retention count (reference ModelCheckpoint save_top_k=epochs keeps
+    # every epoch — ~0.5-1 GB each at flagship scale; None reproduces that,
+    # an int caps disk at best-N-by-val-loss, which is what long supervised
+    # runs on a bounded filesystem need)
+    ckpt_max_keep: Optional[int] = 10
 
     rand_context: bool = False
     min_lo: int = 4

@@ -85,6 +85,24 @@ def make_steps(ae: FrameAutoEncoder, mesh, state_shardings=None):
         rec, _ = ae.apply(state.variables, x, train=False)
         return rec
 
+    # -- multi-step dispatch: K optimizer steps per device program ------------
+    # Same rationale as stage-2 (stage2_predictor.make_steps): on
+    # high-dispatch-latency runtimes the per-step dispatch dominates the AE's
+    # small step. The AE step draws no rng, so lax.scan over a stacked chunk
+    # is bit-identical to the per-step loop (BN stats thread sequentially
+    # through the scan carry).
+    def train_multi(state: TrainState, batches):
+        return jax.lax.scan(train_step, state, batches)
+
+    def eval_multi(state: TrainState, batches):
+        def body(carry, batch):
+            return carry, eval_step(state, batch)
+        _, ms = jax.lax.scan(body, 0, batches)
+        return ms
+
+    train_multi = jax.jit(train_multi, donate_argnums=0,
+                          out_shardings=(state_shardings, rep))
+    eval_multi = jax.jit(eval_multi, out_shardings=rep)
     train_step = jax.jit(train_step, donate_argnums=0,
                          out_shardings=(state_shardings, rep))
     eval_step = jax.jit(eval_step, out_shardings=rep)
@@ -93,9 +111,30 @@ def make_steps(ae: FrameAutoEncoder, mesh, state_shardings=None):
     def place(batch):
         return shard_batch(mesh, batch)
 
+    def place_stack(chunk):
+        """Stack raw batches along a new leading K axis; the batch (second)
+        axis shards over the data mesh axis."""
+        if jax.process_count() > 1:
+            placed = [shard_batch(mesh, b) for b in chunk]
+            return jax.tree.map(lambda *xs: jnp.stack(xs), *placed)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from npvp_tpu.core.mesh import DATA_AXIS
+
+        stacked = {k: np.stack([b[k] for b in chunk]) for k in chunk[0]}
+        return {k: jax.device_put(v, NamedSharding(mesh, P(None, DATA_AXIS)))
+                for k, v in stacked.items()}
+
+    def train_multi_placed(st, chunk):
+        return train_multi(st, place_stack(chunk))
+
+    def eval_multi_placed(st, chunk):
+        return eval_multi(st, place_stack(chunk))
+
     return (lambda st, b: train_step(st, place(b)),
             lambda st, b: eval_step(st, place(b)),
-            lambda st, b: vis(st, place(b)))
+            lambda st, b: vis(st, place(b)),
+            train_multi_placed, eval_multi_placed)
 
 
 def train(cfg: Config, max_steps: int | None = None) -> TrainState:
@@ -136,24 +175,46 @@ def train(cfg: Config, max_steps: int | None = None) -> TrainState:
 
     state_sh = tree_shardings(mesh, state, fsdp=cfg.Env.fsdp, tp=False)
     state = jax.device_put(state, state_sh)
-    train_step, eval_step, vis_step = make_steps(ae, mesh, state_sh)
+    (train_step, eval_step, vis_step,
+     train_multi, eval_multi) = make_steps(ae, mesh, state_sh)
     cfg.save(f"{cfg.AE.ckpt_save_dir}/config.json")
 
+    K = max(1, cfg.Env.steps_per_dispatch)
     step = int(state.step)
     for epoch in range(start_epoch, cfg.AE.epochs):
         train_loader.set_epoch(epoch)
         meters = AverageMeters()
+        chunk = []
         for batch in train_loader:
             maybe_start_profiler(cfg, step)
-            state, metrics = train_step(state, batch)
-            meters.update(metrics)
+            chunk.append(batch)
             step += 1
+            if len(chunk) == K:
+                if K == 1:
+                    state, metrics = train_step(state, chunk[0])
+                else:
+                    state, metrics = train_multi(state, chunk)
+                meters.update(metrics)
+                chunk = []
             if max_steps is not None and step >= max_steps:
                 break
+        if chunk:
+            state, metrics = (train_step(state, chunk[0]) if len(chunk) == 1
+                              else train_multi(state, chunk))
+            meters.update(metrics)
 
         val_meters = AverageMeters()
+        vchunk = []
         for batch in val_loader:
-            val_meters.update(eval_step(state, batch))
+            vchunk.append(batch)
+            if len(vchunk) == K:
+                val_meters.update(eval_step(state, vchunk[0]) if K == 1
+                                  else eval_multi(state, vchunk))
+                vchunk = []
+        if vchunk:
+            val_meters.update(eval_step(state, vchunk[0])
+                              if len(vchunk) == 1
+                              else eval_multi(state, vchunk))
         scalars = {**meters.averages(), **val_meters.averages()}
         logger.log_scalars(step, scalars)
         if is_main_process():

@@ -437,7 +437,8 @@ def train(cfg: Config, max_steps: Optional[int] = None) -> TrainState:
               f" | mode={mode}")
 
     ckpt = CheckpointManager(cfg.Predictor.ckpt_save_dir,
-                             max_to_keep=cfg.Predictor.epochs,
+                             max_to_keep=(cfg.Predictor.ckpt_max_keep
+                                          or cfg.Predictor.epochs),
                              monitor="loss_val", mode="min")
     start_epoch = cfg.Predictor.start_epoch
     if cfg.Predictor.resume_ckpt:

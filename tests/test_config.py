@@ -25,6 +25,12 @@ def test_from_dict_and_overrides():
     assert cfg.AE.out_layer == "Sigmoid"
     assert cfg.Dataset.batch_size == 4
 
+    # ckpt retention knob: bounded by default (long supervised runs on a
+    # bounded filesystem), None restores the reference keep-every-epoch
+    assert cfg.Predictor.ckpt_max_keep == 10
+    apply_overrides(cfg, ["Predictor.ckpt_max_keep=null"])
+    assert cfg.Predictor.ckpt_max_keep is None
+
 
 def test_unknown_key_rejected():
     with pytest.raises(KeyError):

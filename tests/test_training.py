@@ -306,3 +306,46 @@ def test_multi_step_dispatch_equals_per_step(tmp_path, small_smmnist):
         np.asarray(a), np.asarray(b), rtol=0, atol=1e-5),
         s1.params, s2.params)
     assert int(s2.step) == 3
+
+
+def test_stage1_multi_step_dispatch_equals_per_step(tmp_path):
+    """Stage-1 analogue of the dispatch-chunking equivalence: the AE step
+    draws no rng, so K steps scanned in one program must follow the exact
+    per-step trajectory (BN statistics thread through the scan carry)."""
+    import jax
+    from npvp_tpu.core.mesh import make_mesh, replicated
+    from npvp_tpu.train.stage1_ae import build_ae, init_state, make_steps
+
+    cfg = tiny_config(tmp_path)
+    mesh = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+    ae = build_ae(cfg, jnp.float32)
+    d = cfg.Dataset
+    clip = (1, 4, d.img_size, d.img_size, d.img_channels)
+    rng = np.random.default_rng(3)
+    batches = [{"past": rng.random((2, 2, d.img_size, d.img_size, 1),
+                                   np.float32),
+                "future": rng.random((2, 2, d.img_size, d.img_size, 1),
+                                     np.float32)}
+               for _ in range(3)]
+
+    (train_step, eval_step, _vis,
+     train_multi, eval_multi) = make_steps(ae, mesh, replicated(mesh))
+
+    s1 = init_state(cfg, ae, clip)
+    per_loss, per_val = [], []
+    for b in batches:
+        s1, m = train_step(s1, b)
+        per_loss.append(float(m["L1_loss_train"]))
+        per_val.append(float(eval_step(s1, b)["L1_loss_valid"]))
+
+    s2 = init_state(cfg, ae, clip)
+    s2, ms = train_multi(s2, batches)
+    np.testing.assert_allclose(np.asarray(ms["L1_loss_train"], np.float32),
+                               np.asarray(per_loss, np.float32), rtol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=0, atol=1e-5),
+        s1.params, s2.params)
+    assert int(s2.step) == 3
+
+    vms = eval_multi(s2, batches)
+    assert np.asarray(vms["L1_loss_valid"]).shape == (3,)
