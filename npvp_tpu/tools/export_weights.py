@@ -141,9 +141,13 @@ def main(argv=None):
     parser = build_argparser("export trained weights to a committable npz")
     parser.add_argument("--out", required=True)
     parser.add_argument("--ae_ckpt", default=None,
-                        help="Orbax dir (default cfg.Predictor.resume_AE_ckpt)")
+                        help="Orbax dir or .npz artifact "
+                             "(default cfg.Predictor.resume_AE_ckpt)")
     parser.add_argument("--pred_ckpt", default=None,
                         help="Orbax dir (default cfg.Predictor.ckpt_save_dir)")
+    parser.add_argument("--ae_only", action="store_true",
+                        help="export the stage-1 AE only (no predictor "
+                             "checkpoint exists yet)")
     parser.add_argument("--best", action="store_true",
                         help="export the best-metric step instead of latest")
     args = parser.parse_args(argv)
@@ -161,33 +165,47 @@ def main(argv=None):
     from npvp_tpu.train.stage1_ae import build_ae, init_state
     from npvp_tpu.train.stage2_predictor import init_predictor_state
 
-    ae = build_ae(cfg, jnp.float32)
     d = cfg.Dataset
     clip_len = d.num_past_frames + d.num_future_frames
-    ae_mngr = CheckpointManager(ae_dir, monitor="L1_loss_valid", mode="min")
-    ae_step = (ae_mngr.best_step() if args.best else None)
-    ae_state = ae_mngr.restore(
-        init_state(cfg, ae, (1, clip_len, d.img_size, d.img_size,
-                             d.img_channels)), step=ae_step)
-    pred_mngr = CheckpointManager(pred_dir, monitor="loss_val", mode="min")
-    pred_step = (pred_mngr.best_step() if args.best else None)
-    pred_state = pred_mngr.restore(
-        init_predictor_state(cfg, build_predictor(cfg, jnp.float32), 1),
-        step=pred_step)
+    if str(ae_dir).endswith(".npz"):
+        # chain from an earlier artifact (e.g. a committed stage-1 export)
+        ae_vars, _, ae_meta = load_weights(ae_dir)
+        ae_step = int(ae_meta.get("ae_step", 0))
+    else:
+        ae = build_ae(cfg, jnp.float32)
+        ae_mngr = CheckpointManager(ae_dir, monitor="L1_loss_valid",
+                                    mode="min")
+        ae_state = ae_mngr.restore(
+            init_state(cfg, ae, (1, clip_len, d.img_size, d.img_size,
+                                 d.img_channels)),
+            step=(ae_mngr.best_step() if args.best else None))
+        ae_vars = {"params": ae_state.params,
+                   "batch_stats": ae_state.batch_stats}
+        ae_step = int(ae_state.step)
+
+    if args.ae_only:
+        pred_vars, pred_step = {}, 0
+    else:
+        pred_mngr = CheckpointManager(pred_dir, monitor="loss_val",
+                                      mode="min")
+        pred_step = (pred_mngr.best_step() if args.best else None)
+        pred_state = pred_mngr.restore(
+            init_predictor_state(cfg, build_predictor(cfg, jnp.float32), 1),
+            step=pred_step)
+        pred_vars = {"params": pred_state.params,
+                     "batch_stats": pred_state.batch_stats}
+        pred_step = int(pred_state.step)
 
     meta = {"config_path": args.config_path,
-            "ae_step": int(ae_state.step), "pred_step": int(pred_state.step)}
-    save_weights(args.out,
-                 {"params": ae_state.params,
-                  "batch_stats": ae_state.batch_stats},
-                 {"params": pred_state.params,
-                  "batch_stats": pred_state.batch_stats}, meta)
+            "ae_step": ae_step, "pred_step": pred_step}
+    save_weights(args.out, ae_vars, pred_vars, meta)
     size = Path(args.out).stat().st_size / 1e6
     print(f"wrote {args.out}: {size:.1f} MB, meta={meta}")
-    # round-trip sanity: the artifact must reload into a working predictor
-    vp = VideoPredictor.from_weights(cfg, args.out)
-    assert vp is not None
-    print("reload OK")
+    if not args.ae_only:
+        # round-trip sanity: the artifact must reload into a working predictor
+        vp = VideoPredictor.from_weights(cfg, args.out)
+        assert vp is not None
+        print("reload OK")
 
 
 if __name__ == "__main__":

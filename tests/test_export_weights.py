@@ -56,6 +56,68 @@ def test_roundtrip_and_from_weights(tmp_path):
     np.testing.assert_array_equal(b, c)
 
 
+def test_cli_ae_only_then_chain(tmp_path):
+    """The watchdog path: stage-1 exports an AE-only artifact; after stage-2,
+    the CLI chains --ae_ckpt <that npz> with the predictor's Orbax dir into
+    one full artifact (tools/round_end_watchdog.sh)."""
+    from npvp_tpu.core.checkpoint import CheckpointManager
+    from npvp_tpu.models.predictor import build_predictor
+    from npvp_tpu.tools.export_weights import main
+    from npvp_tpu.train.stage1_ae import build_ae, init_state
+    from npvp_tpu.train.stage2_predictor import init_predictor_state
+
+    overrides = [
+        "Dataset.img_size=16", "Dataset.num_past_frames=2",
+        "Dataset.num_future_frames=2", "Dataset.test_num_past_frames=2",
+        "Dataset.test_num_future_frames=2", "AE.ngf=4",
+        "AE.n_downsampling=1", "AE.num_res_blocks=1",
+        "Predictor.max_T=4", "Predictor.min_lo=1", "Predictor.max_lo=2",
+        "Predictor.embed_dim=8", "Predictor.num_heads=2",
+        "Predictor.transformer_layers=1",
+        "Predictor.evt_former_num_layers=1",
+        "Predictor.evt_hidden_channels=4", "Predictor.dim_feedforward=16",
+        "Env.platform=cpu",
+    ]
+    cfg_path = "npvp_tpu/configs/config_SMMNIST_Unified_NPVP-D.yaml"
+    from npvp_tpu.core.config import load_config
+    cfg = load_config(cfg_path, overrides=overrides)
+
+    ae = build_ae(cfg, jnp.float32)
+    ae_state = init_state(cfg, ae, (1, 4, 16, 16, 1))
+    m1 = CheckpointManager(tmp_path / "ae", monitor="L1_loss_valid",
+                           mode="min")
+    m1.save(0, ae_state, metrics={"L1_loss_valid": 1.0})
+    m1.wait()
+
+    ae_npz = tmp_path / "stage1.npz"
+    main(["--config_path", cfg_path, "--out", str(ae_npz), "--ae_only",
+          "--ae_ckpt", str(tmp_path / "ae")]
+         + [f"--override={o}" for o in overrides])
+    ae_vars, pred_vars, meta = load_weights(ae_npz)
+    assert jax.tree_util.tree_leaves(ae_vars["params"])
+    assert not jax.tree_util.tree_leaves(pred_vars["params"])
+    assert meta["pred_step"] == 0
+
+    pred_state = init_predictor_state(
+        cfg, build_predictor(cfg, jnp.float32), 1)
+    m2 = CheckpointManager(tmp_path / "pred", monitor="loss_val", mode="min")
+    m2.save(7, pred_state.replace(step=7), metrics={"loss_val": 0.5})
+    m2.wait()
+
+    full_npz = tmp_path / "full.npz"
+    main(["--config_path", cfg_path, "--out", str(full_npz), "--best",
+          "--ae_ckpt", str(ae_npz), "--pred_ckpt", str(tmp_path / "pred")]
+         + [f"--override={o}" for o in overrides])
+    ae2, pred2, meta2 = load_weights(full_npz)
+    assert meta2["pred_step"] == 7
+    a = dict(_tree_paths(ae_vars["params"]))
+    b = dict(_tree_paths(ae2["params"]))
+    assert a.keys() == b.keys()
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k])
+    assert jax.tree_util.tree_leaves(pred2["params"])
+
+
 def test_large_magnitude_arrays_stay_float32(tmp_path):
     big = {"params": {"w": np.array([1e5, -2e5], np.float32)},
            "batch_stats": {}}

@@ -41,31 +41,9 @@ done
 sleep 5
 
 # 2. export the best predictor + AE to a committable npz (CPU-only load).
-python - "$CFG" "$AE_NPZ" "$PRED_CKPT" "$OUT_NPZ" <<'EOF'
-import sys
-import jax
-jax.config.update("jax_platforms", "cpu")
-import jax.numpy as jnp
-from npvp_tpu.core.checkpoint import CheckpointManager
-from npvp_tpu.core.config import load_config
-from npvp_tpu.tools.export_weights import save_weights, load_weights
-from npvp_tpu.models.predictor import build_predictor
-from npvp_tpu.train.stage2_predictor import init_predictor_state
-
-cfg_path, ae_npz, pred_ckpt, out_npz = sys.argv[1:5]
-cfg = load_config(cfg_path)
-ae_vars, _, _ = load_weights(ae_npz)
-mngr = CheckpointManager(pred_ckpt, monitor="loss_val", mode="min")
-best = mngr.best_step()
-state = mngr.restore(
-    init_predictor_state(cfg, build_predictor(cfg, jnp.float32), 1),
-    step=best)
-meta = {"config_path": cfg_path, "ae_step": -1, "pred_step": int(state.step),
-        "note": f"watchdog export, best loss_val step {best}"}
-save_weights(out_npz, ae_vars,
-             {"params": state.params, "batch_stats": state.batch_stats}, meta)
-print(f"[watchdog] wrote {out_npz} (pred step {int(state.step)})")
-EOF
+python -m npvp_tpu.tools.export_weights --config_path "$CFG" \
+    --override Env.platform=cpu \
+    --ae_ckpt "$AE_NPZ" --pred_ckpt "$PRED_CKPT" --best --out "$OUT_NPZ"
 rc=$?
 
 # 3. commit whatever evidence exists (artifact may be absent if no ckpt yet).
