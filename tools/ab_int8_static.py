@@ -30,6 +30,25 @@ ITERS = 8
 PAIRS = 6
 
 
+def compile_arm(name, fn, args):
+    """First execution (= remote compile) with retries: the axon tunnel
+    sporadically drops the compile response mid-body (observed round 4:
+    'response body closed before all bytes were read')."""
+    for attempt in range(3):
+        t0 = time.perf_counter()
+        try:
+            np.asarray(fn(*args)).ravel()[:1]
+            print(f"{name}: compiled in {time.perf_counter() - t0:.0f}s",
+                  flush=True)
+            return
+        except Exception as e:  # noqa: BLE001 — tunnel errors vary
+            if attempt == 2:
+                raise
+            print(f"{name}: compile attempt {attempt} failed ({e}); "
+                  "retrying in 30s", flush=True)
+            time.sleep(30)
+
+
 def make_scanned(ae, predictor, oc, tc):
     from npvp_tpu.nn.resnet_ae import FrameAutoEncoder
 
@@ -80,30 +99,23 @@ def main():
     # then set it and build the static program from the same modules
     fns = {}
     fns["int8_dyn"] = make_scanned(vp.ae, vp.predictor, oc, tc)
-    t0 = time.perf_counter(); np.asarray(fns["int8_dyn"](*args)).ravel()[:1]
-    print(f"int8_dyn: compiled in {time.perf_counter() - t0:.0f}s",
-          flush=True)
+    compile_arm("int8_dyn", fns["int8_dyn"], args)
 
     quant.STATIC_ACT_SCALE = 0.05  # structure-equivalent to calibrated
     pred_static = build_predictor(cfg, jnp.bfloat16, exec_mode="int8")
     fns["int8_static"] = make_scanned(vp.ae, pred_static, oc, tc)
-    t0 = time.perf_counter()
-    np.asarray(fns["int8_static"](*args)).ravel()[:1]
+    compile_arm("int8_static", fns["int8_static"], args)
     quant.STATIC_ACT_SCALE = None
-    print(f"int8_static: compiled in {time.perf_counter() - t0:.0f}s",
-          flush=True)
 
     pred_bf16 = build_predictor(cfg, jnp.bfloat16, exec_mode="xla")
     fns["bf16"] = make_scanned(vp.ae, pred_bf16, oc, tc)
-    t0 = time.perf_counter(); np.asarray(fns["bf16"](*args)).ravel()[:1]
-    print(f"bf16: compiled in {time.perf_counter() - t0:.0f}s", flush=True)
+    compile_arm("bf16", fns["bf16"], args)
 
     # the serving headline runs exec_mode="pallas" — int8_static must beat
     # THIS arm (not just xla-bf16) to move the headline
     pred_pl = build_predictor(cfg, jnp.bfloat16, exec_mode="pallas")
     fns["pallas"] = make_scanned(vp.ae, pred_pl, oc, tc)
-    t0 = time.perf_counter(); np.asarray(fns["pallas"](*args)).ravel()[:1]
-    print(f"pallas: compiled in {time.perf_counter() - t0:.0f}s", flush=True)
+    compile_arm("pallas", fns["pallas"], args)
 
     names = list(fns)
     times = {n: [] for n in names}
