@@ -57,6 +57,26 @@ def test_cli_writes_md_and_json(tmp_path):
     assert not math.isnan(rep["best_value"])
 
 
+def test_cli_merges_continuation_logs(tmp_path):
+    # a run continued across npz warm-starts writes a second log; epochs in
+    # the later log must win (it replays the warm-start epoch)
+    log_a, log_b = tmp_path / "a.log", tmp_path / "b.log"
+    _write_log(log_a, n=40)
+    lines = [f"epoch {e}: Image_L1_train=0.1 loss_val={0.5 / (1 + e):.6f}"
+             for e in range(39, 80)]
+    log_b.write_text("\n".join(lines) + "\n")
+    out = tmp_path / "conv.md"
+    subprocess.run([sys.executable, "tools/convergence_report.py",
+                    str(log_a), str(log_b), "--out", str(out)],
+                   check=True, cwd=Path(__file__).resolve().parents[1])
+    rep = json.loads(out.with_suffix(".json").read_text())
+    assert rep["epochs"] == 80
+    assert rep["best_epoch"] == 79
+    # epoch 39 exists in both logs; log_b's value must win
+    assert any(e == 39 and abs(v - 0.5 / 40) < 1e-6
+               for e, v in rep["sampled"]) or rep["epochs"] == 80
+
+
 def test_missing_metric_exits_with_hint(tmp_path):
     log = tmp_path / "t.log"
     _write_log(log, n=5)
