@@ -66,15 +66,36 @@ def test_cli_merges_continuation_logs(tmp_path):
              for e in range(39, 80)]
     log_b.write_text("\n".join(lines) + "\n")
     out = tmp_path / "conv.md"
-    subprocess.run([sys.executable, "tools/convergence_report.py",
-                    str(log_a), str(log_b), "--out", str(out)],
-                   check=True, cwd=Path(__file__).resolve().parents[1])
+    # stride 13 makes epoch 39 (present in BOTH logs) land in the sampled
+    # rows, so later-log-wins is actually observable (advisor round-4: with
+    # the default stride 25 the old assertion was vacuous)
+    proc = subprocess.run([sys.executable, "tools/convergence_report.py",
+                           str(log_a), str(log_b), "--stride", "13",
+                           "--out", str(out)],
+                          check=True, capture_output=True, text=True,
+                          cwd=Path(__file__).resolve().parents[1])
     rep = json.loads(out.with_suffix(".json").read_text())
     assert rep["epochs"] == 80
     assert rep["best_epoch"] == 79
     # epoch 39 exists in both logs; log_b's value must win
     assert any(e == 39 and abs(v - 0.5 / 40) < 1e-6
-               for e, v in rep["sampled"]) or rep["epochs"] == 80
+               for e, v in rep["sampled"]), rep["sampled"]
+    # overlapping logs are flagged on stderr and in the markdown header
+    assert "overrides 1 earlier-log epoch(s) 39" in proc.stderr
+    assert "overrides 1 earlier-log epoch(s) 39" in out.read_text()
+
+
+def test_cli_disjoint_logs_no_overlap_warning(tmp_path):
+    log_a, log_b = tmp_path / "a.log", tmp_path / "b.log"
+    _write_log(log_a, n=40)
+    lines = [f"epoch {e}: loss_val={0.5 / (1 + e):.6f}" for e in range(40, 80)]
+    log_b.write_text("\n".join(lines) + "\n")
+    proc = subprocess.run([sys.executable, "tools/convergence_report.py",
+                           str(log_a), str(log_b)],
+                          check=True, capture_output=True, text=True,
+                          cwd=Path(__file__).resolve().parents[1])
+    assert "overrides" not in proc.stderr
+    assert "overrides" not in proc.stdout
 
 
 def test_missing_metric_exits_with_hint(tmp_path):

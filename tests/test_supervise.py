@@ -93,3 +93,139 @@ def test_stall_kill_and_resume(tmp_path):
     text = log.read_text()
     assert "STALL: log silent" in text
     assert "resumed fine" in text
+
+
+# Chip-yield trainer: heartbeats every second for ~40 s then exits 0. Used
+# to observe the supervisor SIGSTOP/SIGCONT it around a bench-style lock.
+YIELD_TRAINER = textwrap.dedent("""
+    import sys, time
+    for i in range(40):
+        print("tick", i, flush=True)
+        time.sleep(1)
+    print("done", flush=True)
+""")
+
+
+def _proc_state(pid):
+    with open(f"/proc/{pid}/stat") as f:
+        return f.read().rpartition(")")[2].split()[0]
+
+
+def test_chip_yield_pauses_and_resumes(tmp_path):
+    """Full chip-yield sequence (round-4 VERDICT next-1): trainer running →
+    lock taken (live owner pid) → trainer SIGSTOPped within one poll cycle →
+    stall clock suspended well past STALL_S → lock released → SIGCONT →
+    trainer completes normally (no stall kill, no relaunch)."""
+    import time
+
+    lock = tmp_path / "chip.lock"
+    holder = tmp_path / "holder.pid"
+    trainer = tmp_path / "trainer.py"
+    trainer.write_text(YIELD_TRAINER)
+    log = tmp_path / "run.log"
+    env = dict(os.environ, NPVP_CHIP_LOCK=str(lock),
+               NPVP_CHIP_HOLDER=str(holder))
+    sup = subprocess.Popen(
+        [str(SUPERVISE), "-l", str(log), "-c", str(tmp_path / "ck"),
+         "-k", "P.resume_ckpt", "-s", "8", "-n", "2", "-d", "0",
+         "--", sys.executable, str(trainer)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+    try:
+        # wait for the trainer to come up and be advertised
+        deadline = time.time() + 30
+        while time.time() < deadline and not holder.exists():
+            time.sleep(0.2)
+        assert holder.exists(), "supervisor must advertise the trainer pid"
+        tpid = int(holder.read_text())
+        assert _proc_state(tpid) in ("S", "R")
+
+        # bench-style exclusive section: lock with OUR (live) pid
+        lock.write_text(str(os.getpid()))
+        deadline = time.time() + 15
+        while time.time() < deadline and _proc_state(tpid) not in ("T", "t"):
+            time.sleep(0.2)
+        assert _proc_state(tpid) in ("T", "t"), "trainer must be SIGSTOPped"
+
+        # hold the lock past STALL_S (8 s): the suspended stall clock must
+        # NOT kill the paused trainer
+        time.sleep(12)
+        assert _proc_state(tpid) in ("T", "t")
+        assert "STALL" not in log.read_text()
+
+        lock.unlink()
+        deadline = time.time() + 15
+        while time.time() < deadline and _proc_state(tpid) in ("T", "t"):
+            time.sleep(0.2)
+        assert _proc_state(tpid) in ("S", "R"), "trainer must be resumed"
+
+        out = sup.communicate(timeout=90)
+        assert sup.returncode == 0, (out, log.read_text())
+        text = log.read_text()
+        assert "pausing trainer" in text
+        assert "chip lock released" in text
+        assert "done" in text
+        assert "STALL" not in text
+        assert not holder.exists(), "holder file must be cleared on exit"
+    finally:
+        if sup.poll() is None:
+            sup.kill()
+            sup.wait()
+
+
+def test_stale_lock_is_ignored(tmp_path):
+    """A lock whose owner pid is dead must not pause the trainer (a crashed
+    bench cannot wedge training)."""
+    import time
+
+    lock = tmp_path / "chip.lock"
+    holder = tmp_path / "holder.pid"
+    # a pid that is certainly dead: spawn+reap a child
+    p = subprocess.Popen([sys.executable, "-c", "pass"])
+    p.wait()
+    lock.write_text(str(p.pid))
+    trainer = tmp_path / "trainer.py"
+    trainer.write_text(textwrap.dedent("""
+        import time
+        for i in range(8):
+            print("tick", i, flush=True)
+            time.sleep(1)
+    """))
+    log = tmp_path / "run.log"
+    env = dict(os.environ, NPVP_CHIP_LOCK=str(lock),
+               NPVP_CHIP_HOLDER=str(holder))
+    sup = subprocess.run(
+        [str(SUPERVISE), "-l", str(log), "-c", str(tmp_path / "ck"),
+         "-k", "P.resume_ckpt", "-s", "600", "-n", "2", "-d", "0",
+         "--", sys.executable, str(trainer)],
+        env=env, capture_output=True, text=True, timeout=60)
+    assert sup.returncode == 0, sup.stderr + log.read_text()
+    assert "pausing trainer" not in log.read_text()
+
+
+def test_chip_lock_contextmanager(tmp_path, monkeypatch):
+    """npvp_tpu.core.chip_lock.chip_lock writes our pid, waits for the
+    holder pause, and removes the lock on exit (also on exception)."""
+    lock = tmp_path / "chip.lock"
+    holder = tmp_path / "holder.pid"
+    monkeypatch.setenv("NPVP_CHIP_LOCK", str(lock))
+    monkeypatch.setenv("NPVP_CHIP_HOLDER", str(holder))
+    import npvp_tpu.core.chip_lock as cl
+
+    # no holder: trivial path
+    with cl.chip_lock(grace_s=1, drain_s=0):
+        assert lock.read_text() == str(os.getpid())
+    assert not lock.exists()
+
+    # live holder already stopped: drain path, lock removed on exception
+    p = subprocess.Popen([sys.executable, "-c",
+                          "import time; time.sleep(60)"])
+    try:
+        holder.write_text(str(p.pid))
+        os.kill(p.pid, 19)  # SIGSTOP
+        with pytest.raises(RuntimeError):
+            with cl.chip_lock(grace_s=5, drain_s=0):
+                raise RuntimeError("boom")
+        assert not lock.exists()
+    finally:
+        p.kill()
+        p.wait()

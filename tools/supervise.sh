@@ -8,6 +8,7 @@
 # Usage:
 #   tools/supervise.sh -l LOGFILE -c CKPT_DIR -k Group.resume_ckpt \
 #       [-s STALL_SECS] [-n MAX_RELAUNCHES] [-d RETRY_DELAY_SECS] \
+#       [-p MAX_PAUSE_SECS] \
 #       -- python -m npvp_tpu.train.stage2_predictor --config_path CFG \
 #            --override Env.steps_per_dispatch=16
 #
@@ -22,14 +23,29 @@
 #     legitimately take 600 s);
 #   * relaunches on nonzero exit after RETRY_DELAY (default 60 s);
 #   * exits 0 when the trainer completes, 1 after MAX_RELAUNCHES failures.
+#
+# Chip-yield protocol (round-4 VERDICT next-1; npvp_tpu/core/chip_lock.py):
+#   * advertises the trainer pid in $NPVP_CHIP_HOLDER
+#     (default /tmp/npvp_chip_holder.pid);
+#   * while $NPVP_CHIP_LOCK (default /tmp/npvp_chip.lock) exists AND the
+#     pid written inside it is alive, SIGSTOPs the trainer so an exclusive
+#     chip user (the driver's bench.py, a quality run) gets the device;
+#     the stall clock is suspended while paused;
+#   * SIGCONTs when the lock disappears or its owner dies (a crashed
+#     lock-taker cannot wedge training), or after MAX_PAUSE_SECS
+#     (default 2700 — longer than bench.py's whole 1800 s budget) as a
+#     backstop against a forgotten lockfile with a long-lived owner.
 set -u
 
 STALL_S=1800
 MAX_RELAUNCHES=100
 RETRY_DELAY=60
+MAX_PAUSE_S=2700
 LOG="" CKPT="" KEY=""
+LOCK=${NPVP_CHIP_LOCK:-/tmp/npvp_chip.lock}
+HOLDER=${NPVP_CHIP_HOLDER:-/tmp/npvp_chip_holder.pid}
 
-while getopts "l:c:k:s:n:d:" opt; do
+while getopts "l:c:k:s:n:d:p:" opt; do
     case "$opt" in
         l) LOG=$OPTARG ;;
         c) CKPT=$OPTARG ;;
@@ -37,6 +53,7 @@ while getopts "l:c:k:s:n:d:" opt; do
         s) STALL_S=$OPTARG ;;
         n) MAX_RELAUNCHES=$OPTARG ;;
         d) RETRY_DELAY=$OPTARG ;;
+        p) MAX_PAUSE_S=$OPTARG ;;
         *) echo "usage: see header of $0" >&2; exit 2 ;;
     esac
 done
@@ -57,12 +74,42 @@ has_ckpt() {
     compgen -G "$CKPT/[0-9]*" > /dev/null 2>&1
 }
 
+lock_active() {
+    # an exclusive chip user holds the lock iff the file exists AND the pid
+    # written inside is alive (a stale lock from a crashed taker is ignored)
+    [ -f "$LOCK" ] || return 1
+    local lpid
+    lpid=$(cat "$LOCK" 2>/dev/null)
+    [ -n "$lpid" ] && kill -0 "$lpid" 2>/dev/null
+}
+
 run_once() {
     "$@" >> "$LOG" 2>&1 &
     local pid=$!
     echo "$pid" > "$PIDFILE"
+    echo "$pid" > "$HOLDER"
+    local paused=0 pause_t0=0
     while kill -0 "$pid" 2>/dev/null; do
         sleep 5
+        if lock_active; then
+            if [ "$paused" -eq 0 ]; then
+                note "chip lock taken ($(cat "$LOCK" 2>/dev/null)) — pausing trainer $pid"
+                kill -STOP "$pid" 2>/dev/null
+                paused=1
+                pause_t0=$(date +%s)
+            elif [ $(( $(date +%s) - pause_t0 )) -gt "$MAX_PAUSE_S" ]; then
+                note "chip lock held > ${MAX_PAUSE_S}s — resuming anyway"
+                kill -CONT "$pid" 2>/dev/null
+                paused=0
+                touch "$LOG"
+            fi
+            continue   # stall clock suspended while paused
+        elif [ "$paused" -eq 1 ]; then
+            note "chip lock released — resuming trainer $pid"
+            kill -CONT "$pid" 2>/dev/null
+            paused=0
+            touch "$LOG"   # reset the stall clock from the resume instant
+        fi
         if [ -f "$LOG" ]; then
             local age=$(( $(date +%s) - $(stat -c %Y "$LOG") ))
             if [ "$age" -gt "$STALL_S" ]; then
@@ -71,10 +118,12 @@ run_once() {
                 sleep 5
                 kill -9 "$pid" 2>/dev/null
                 wait "$pid" 2>/dev/null
+                rm -f "$HOLDER"
                 return 99
             fi
         fi
     done
+    rm -f "$HOLDER"
     wait "$pid"
 }
 
