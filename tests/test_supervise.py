@@ -172,6 +172,53 @@ def test_chip_yield_pauses_and_resumes(tmp_path):
             sup.wait()
 
 
+def test_term_kills_trainer_and_writes_own_pid(tmp_path):
+    """Round-4b postmortem: the recorded supervisor pid was a `bash -c`
+    wrapper; killing it orphaned supervise.sh, which relaunched the trainer
+    over the round-end export. Contract now: the script writes its OWN pid
+    to <log>.sup.pid, and TERMing that pid takes the trainer down too."""
+    import time
+
+    trainer = tmp_path / "trainer.py"
+    trainer.write_text(YIELD_TRAINER)
+    log = tmp_path / "run.log"
+    env = dict(os.environ, NPVP_CHIP_LOCK=str(tmp_path / "l"),
+               NPVP_CHIP_HOLDER=str(tmp_path / "h"))
+    # launch via a wrapper shell, mirroring how sessions launch it
+    sup = subprocess.Popen(
+        ["bash", "-c", f"exec 2>/dev/null; {SUPERVISE} -l {log} "
+         f"-c {tmp_path}/ck -k P.resume_ckpt -s 600 -n 2 -d 0 -- "
+         f"{sys.executable} {trainer}"], env=env)
+    try:
+        deadline = time.time() + 30
+        sup_pidfile = Path(str(log) + ".sup.pid")
+        t_pidfile = Path(str(log) + ".pid")
+        while time.time() < deadline and not (sup_pidfile.exists()
+                                              and t_pidfile.exists()):
+            time.sleep(0.2)
+        spid, tpid = int(sup_pidfile.read_text()), int(t_pidfile.read_text())
+        # give run_once a beat to enter its monitor loop, then TERM the
+        # pid from the pidfile (NOT the wrapper)
+        time.sleep(1)
+        os.kill(spid, 15)
+        deadline = time.time() + 30
+        while time.time() < deadline and os.path.exists(f"/proc/{tpid}"):
+            time.sleep(0.3)
+        assert not os.path.exists(f"/proc/{tpid}"), \
+            "trainer must die with the supervisor"
+        assert "supervisor terminated" in log.read_text()
+        # the trap sleeps between TERM and KILL of the trainer before
+        # removing its pidfile — wait for the cleanup to land
+        deadline = time.time() + 20
+        while time.time() < deadline and sup_pidfile.exists():
+            time.sleep(0.3)
+        assert not sup_pidfile.exists()
+    finally:
+        if sup.poll() is None:
+            sup.kill()
+        sup.wait()
+
+
 def test_stale_lock_is_ignored(tmp_path):
     """A lock whose owner pid is dead must not pause the trainer (a crashed
     bench cannot wedge training)."""

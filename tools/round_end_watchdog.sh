@@ -27,15 +27,18 @@ fi
 echo "[watchdog $(date -u +%H:%M:%S)] deadline reached"
 
 # 1. stop the supervisor first (so it cannot relaunch), then the trainer it
-#    spawned (recorded in <logfile>.pid by supervise.sh).
-for pf in "$SUP_PIDFILE" "${TRAIN_LOG}.pid"; do
+#    spawned (recorded in <logfile>.pid by supervise.sh). Also kill the
+#    script's OWN pidfile <logfile>.sup.pid — round-4b postmortem: the
+#    caller-supplied SUP_PIDFILE held a `bash -c` wrapper pid; killing only
+#    it left supervise.sh alive to relaunch the trainer over the export.
+for pf in "$SUP_PIDFILE" "${TRAIN_LOG}.sup.pid" "${TRAIN_LOG}.pid"; do
     if [ -f "$pf" ]; then
         pid=$(cat "$pf")
         kill "$pid" 2>/dev/null && echo "[watchdog] killed $pid ($pf)"
     fi
 done
 sleep 10
-for pf in "$SUP_PIDFILE" "${TRAIN_LOG}.pid"; do
+for pf in "$SUP_PIDFILE" "${TRAIN_LOG}.sup.pid" "${TRAIN_LOG}.pid"; do
     [ -f "$pf" ] && kill -9 "$(cat "$pf")" 2>/dev/null
 done
 sleep 5

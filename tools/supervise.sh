@@ -66,8 +66,29 @@ fi
 
 mkdir -p "$(dirname "$LOG")"
 PIDFILE="${LOG}.pid"
+# The supervisor's OWN pid — of this script process, NOT any shell wrapper
+# that launched it. Round-4b postmortem: the recorded "supervisor pid" was
+# a `bash -c` wrapper; killing it left supervise.sh alive, which relaunched
+# the trainer over the round-end export. Kill THIS pidfile instead.
+SUP_PIDFILE="${LOG}.sup.pid"
+echo $$ > "$SUP_PIDFILE"
 
 note() { echo "[supervise $(date -u +%H:%M:%S)] $*" | tee -a "$LOG" >&2; }
+
+# Dying must take the trainer along: a TERM/INT to the supervisor kills the
+# current trainer by pid and exits, so no orphan keeps the chip.
+TRAINER_PID=""
+on_term() {
+    note "supervisor terminated — stopping trainer ${TRAINER_PID:-<none>}"
+    if [ -n "$TRAINER_PID" ]; then
+        kill "$TRAINER_PID" 2>/dev/null
+        sleep 3
+        kill -9 "$TRAINER_PID" 2>/dev/null
+    fi
+    rm -f "$HOLDER" "$SUP_PIDFILE"
+    exit 143
+}
+trap on_term TERM INT
 
 has_ckpt() {
     # Orbax layout: one numeric subdirectory per saved step
@@ -86,6 +107,7 @@ lock_active() {
 run_once() {
     "$@" >> "$LOG" 2>&1 &
     local pid=$!
+    TRAINER_PID=$pid
     echo "$pid" > "$PIDFILE"
     echo "$pid" > "$HOLDER"
     local paused=0 pause_t0=0
@@ -119,12 +141,16 @@ run_once() {
                 kill -9 "$pid" 2>/dev/null
                 wait "$pid" 2>/dev/null
                 rm -f "$HOLDER"
+                TRAINER_PID=""
                 return 99
             fi
         fi
     done
     rm -f "$HOLDER"
     wait "$pid"
+    local rc=$?
+    TRAINER_PID=""
+    return $rc
 }
 
 attempt=0
@@ -140,11 +166,13 @@ while :; do
     rc=$?
     if [ "$rc" -eq 0 ]; then
         note "trainer completed (rc=0) after $attempt relaunch(es)"
+        rm -f "$SUP_PIDFILE"
         exit 0
     fi
     attempt=$((attempt + 1))
     if [ "$attempt" -ge "$MAX_RELAUNCHES" ]; then
         note "giving up after $attempt relaunches (last rc=$rc)"
+        rm -f "$SUP_PIDFILE"
         exit 1
     fi
     note "trainer died (rc=$rc) — relaunch $attempt/$MAX_RELAUNCHES in ${RETRY_DELAY}s"
