@@ -11,7 +11,8 @@ the 4 EVT-former blocks, keeping the shared final norm.
 
 For each variant this tool measures, on the real chip, in ONE process:
 
-- throughput: the bench.py serving protocol (batch 64, VFP 10→10,
+- throughput: the bench.py serving protocol (batch 64, the config's own
+  VFP task — SMMNIST 5→10,
   ``freeze_task``, bf16 + pallas), INTERLEAVED round-robin across
   variants (the chip is shared — only within-process interleaved ratios
   support decisions, CLAUDE.md), reporting per-variant min block time and
@@ -71,15 +72,20 @@ def bench_variants(cfg, names, blocks=6, n=20):
 
     d = cfg.Dataset
     npz = str(cfg.Predictor.ckpt_save_dir)
+    # the trained config's own VFP task (SMMNIST: 5 observed -> 10
+    # predicted, max_T=15 — NOT bench.py's KTH 10->10 flagship shape, whose
+    # coordinates would violate this config's max_T bound)
+    n_past, n_fut = d.test_num_past_frames, d.test_num_future_frames
+    obs_t, tgt_t = np.arange(n_past), np.arange(n_past, n_past + n_fut)
     preds = {}
     for name in names:
         vp = VideoPredictor.from_weights(variant_cfg(cfg, name), npz,
                                          dtype=jnp.bfloat16,
                                          exec_mode="pallas")
-        preds[name] = vp.freeze_task(np.arange(10), np.arange(10, 20))
+        preds[name] = vp.freeze_task(obs_t, tgt_t)
     batch = 64
     frames = jnp.asarray(np.random.default_rng(0).standard_normal(
-        (batch, 10, d.img_size, d.img_size, d.img_channels), np.float32))
+        (batch, n_past, d.img_size, d.img_size, d.img_channels), np.float32))
     key = jax.random.key(0)
     for name in names:   # compile/warm every variant before any timing
         np.asarray(preds[name](frames, key))
@@ -101,7 +107,7 @@ def bench_variants(cfg, names, blocks=6, n=20):
         sec = float(np.min(times[name]))
         res[name] = {
             "sec_per_batch_min": sec,
-            "fps": batch * 10 / sec,
+            "fps": batch * len(tgt_t) / sec,
             "speedup_vs_full_median": float(np.median(per_round)),
             "speedup_vs_full_rounds": [round(x, 3) for x in per_round],
         }
@@ -135,7 +141,7 @@ def to_markdown(rep):
     names = rep["variants"]
     lines = ["# Serving depth/quality frontier", "",
              f"config `{rep['config']}` · weights "
-             f"`{rep['weights']}` · protocol: fps = batch-64 VFP 10→10 "
+             f"`{rep['weights']}` · protocol: fps = batch-64 config VFP task "
              "freeze_task bf16+pallas, interleaved round-robin "
              f"({rep.get('fps_blocks', 0)} rounds); quality = fp32 parity "
              f"path, max_batches={rep.get('max_batches')}, best-of-"
