@@ -62,8 +62,16 @@ def _run_supervisor(tmp_path, mode, stall_s):
            "--", sys.executable, str(trainer), str(ckpt), str(runfile),
            mode, "--override", "Env.steps_per_dispatch=16"]
     # the fake trainer treats everything after its 3 positionals as the
-    # override list, mirroring argparse's accumulating --override
-    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+    # override list, mirroring argparse's accumulating --override.
+    # Isolate the chip-yield paths: with the DEFAULT /tmp paths, a real
+    # chip user on this box (the driver's bench.py, a quality run) would
+    # pause this test's fake trainer and time the test out — observed live
+    # in round 5 when bench.py ran beside the suite.
+    env = dict(os.environ,
+               NPVP_CHIP_LOCK=str(tmp_path / "chip.lock"),
+               NPVP_CHIP_HOLDER=str(tmp_path / "chip_holder.pid"))
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=120,
+                          env=env)
     return proc, log, runfile
 
 
