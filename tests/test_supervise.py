@@ -103,6 +103,53 @@ def test_stall_kill_and_resume(tmp_path):
     assert "resumed fine" in text
 
 
+def test_backend_probe_holds_relaunch(tmp_path):
+    """Round-5 lesson: a dead tunnel with fast-failing backend init burns
+    MAX_RELAUNCHES in ~90 s/attempt. With NPVP_PROBE_CMD set, a failed
+    relaunch is HELD until the probe answers — attempts only ever count
+    genuine trainer failures. Sequence: run 0 crashes → probe fails (no
+    marker file) → supervisor holds, noting it → marker appears → run 1
+    launches with the resume override and completes."""
+    import time
+
+    trainer = tmp_path / "trainer.py"
+    trainer.write_text(FAKE_TRAINER)
+    ckpt, log, runfile = tmp_path / "ckpts", tmp_path / "run.log", \
+        tmp_path / "runs.txt"
+    marker = tmp_path / "backend_up"
+    cmd = [str(SUPERVISE), "-l", str(log), "-c", str(ckpt),
+           "-k", "P.resume_ckpt", "-s", "600", "-n", "5", "-d", "0",
+           "--", sys.executable, str(trainer), str(ckpt), str(runfile),
+           "crash", "--override", "Env.steps_per_dispatch=16"]
+    env = dict(os.environ,
+               NPVP_CHIP_LOCK=str(tmp_path / "chip.lock"),
+               NPVP_CHIP_HOLDER=str(tmp_path / "chip_holder.pid"),
+               NPVP_PROBE_CMD=f"test -f {marker}",
+               NPVP_PROBE_INTERVAL_S="1")
+    proc = subprocess.Popen(cmd, env=env, stdout=subprocess.PIPE,
+                            stderr=subprocess.PIPE, text=True)
+    try:
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            if log.exists() and "holding relaunch" in log.read_text():
+                break
+            time.sleep(0.5)
+        else:
+            raise AssertionError("supervisor never held the relaunch: "
+                                 + (log.read_text() if log.exists() else ""))
+        assert runfile.read_text() == "1"  # still only the crashed run
+        marker.touch()                     # "tunnel back up"
+        proc.wait(timeout=60)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
+    text = log.read_text()
+    assert proc.returncode == 0, text
+    assert runfile.read_text() == "2"
+    assert "resumed fine" in text
+
+
 # Chip-yield trainer: heartbeats every second for ~40 s then exits 0. Used
 # to observe the supervisor SIGSTOP/SIGCONT it around a bench-style lock.
 YIELD_TRAINER = textwrap.dedent("""

@@ -95,6 +95,30 @@ has_ckpt() {
     compgen -G "$CKPT/[0-9]*" > /dev/null 2>&1
 }
 
+wait_backend() {
+    # Round-5 lesson: a multi-hour tunnel outage with fast-failing backend
+    # init burns through MAX_RELAUNCHES (~90 s/attempt) and then training
+    # stops silently. When NPVP_PROBE_CMD is set (opt-in — tests and
+    # non-TPU runs skip this), hold relaunches until the probe answers, so
+    # attempts only count genuine trainer failures. Probes run in a
+    # SUBPROCESS with a timeout (an in-process hung init is unrecoverable).
+    [ -z "${NPVP_PROBE_CMD:-}" ] && return 0
+    local t0=$(date +%s) max=${NPVP_PROBE_MAX_S:-21600}
+    while :; do
+        if timeout 150 bash -c "$NPVP_PROBE_CMD" >/dev/null 2>&1; then
+            return 0
+        fi
+        local waited=$(( $(date +%s) - t0 ))
+        if [ "$waited" -gt "$max" ]; then
+            note "backend still down after ${waited}s — relaunching anyway"
+            return 1
+        fi
+        note "backend unavailable — holding relaunch (${waited}s)"
+        touch "$LOG"   # a held relaunch is not a stall
+        sleep "${NPVP_PROBE_INTERVAL_S:-120}"
+    done
+}
+
 lock_active() {
     # an exclusive chip user holds the lock iff the file exists AND the pid
     # written inside is alive (a stale lock from a crashed taker is ignored)
@@ -177,4 +201,5 @@ while :; do
     fi
     note "trainer died (rc=$rc) — relaunch $attempt/$MAX_RELAUNCHES in ${RETRY_DELAY}s"
     sleep "$RETRY_DELAY"
+    wait_backend
 done
