@@ -114,14 +114,26 @@ def bench_variants(cfg, names, blocks=6, n=20):
     return res
 
 
-def quality_variants(cfg, names, tasks, max_batches, num_samples):
+def quality_variants(cfg, names, tasks, max_batches, num_samples,
+                     cache_path=None):
+    """``cache_path``: completed (variant, task) cells persist there after
+    every eval and are skipped on relaunch — the axon tunnel flaps for
+    hours at a time (rounds 3 and 5), and a 25-cell pass must not restart
+    from zero each flap."""
     from npvp_tpu.eval.evaluate import evaluate
 
     res = {}
+    if cache_path and cache_path.exists():
+        res = json.loads(cache_path.read_text())
+        done = sum(len(v) for v in res.values())
+        print(f"[frontier] resuming quality pass: {done} cached cell(s)",
+              file=sys.stderr, flush=True)
     for name in names:
         c = variant_cfg(cfg, name)
-        res[name] = {}
+        res.setdefault(name, {})
         for task in tasks:
+            if task in res[name]:
+                continue
             r = evaluate(c, max_batches=max_batches, task=task,
                          num_samples=num_samples,
                          baseline=(name == names[0]))
@@ -131,6 +143,8 @@ def quality_variants(cfg, names, tasks, max_batches, num_samples):
                 for k in ("PSNR_baseline", "SSIM_baseline"):
                     if k in r:
                         res[name][task][k] = r[k]
+            if cache_path:
+                cache_path.write_text(json.dumps(res, indent=1))
             print(f"[frontier] {name} {task}: "
                   f"PSNR {r['PSNR']:.2f} SSIM {r['SSIM']:.4f}",
                   file=sys.stderr, flush=True)
@@ -204,14 +218,14 @@ def main(argv=None):
            "variants": names, "tasks": args.tasks if args.quality else [],
            "max_batches": args.max_batches, "num_samples": args.num_samples,
            "fps_blocks": args.fps_blocks}
+    out_dir = pathlib.Path(args.out_dir or "results")
+    out_dir.mkdir(parents=True, exist_ok=True)
     if not args.no_fps:
         rep["fps"] = bench_variants(cfg, names, blocks=args.fps_blocks)
     if args.quality:
-        rep["quality"] = quality_variants(cfg, names, args.tasks,
-                                          args.max_batches,
-                                          args.num_samples)
-    out_dir = pathlib.Path(args.out_dir or "results")
-    out_dir.mkdir(parents=True, exist_ok=True)
+        rep["quality"] = quality_variants(
+            cfg, names, args.tasks, args.max_batches, args.num_samples,
+            cache_path=out_dir / "frontier_quality_partial.json")
     (out_dir / "frontier.json").write_text(json.dumps(rep, indent=1))
     (out_dir / "frontier.md").write_text(to_markdown(rep))
     print(f"wrote {out_dir}/frontier.json and frontier.md")
